@@ -1,0 +1,92 @@
+"""On-device Griffin-Lim phase recovery (JAX / XLA, TPU-native).
+
+Replaces the reference's host-CPU librosa.griffinlim loop
+(model/inference.py:105-110: n_iter=300, hann window, win_length=2048,
+hop_length=256) — the single biggest inference cost in the reference — with a
+``lax.fori_loop`` over on-device rfft/irfft with zero host round-trips.
+
+Algorithm: Griffin & Lim (1984) with momentum acceleration (Perraudin et al.
+2013), matching librosa.griffinlim's published update rule
+(momentum=0.99, random uniform phase init).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import stft as _stft
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "hop_length", "win_length", "length", "momentum")
+)
+def griffinlim(
+    magnitude: jnp.ndarray,
+    key: jax.Array | None = None,
+    n_iter: int = 300,
+    hop_length: int = 256,
+    win_length: int | None = None,
+    momentum: float = 0.99,
+    length: int | None = None,
+    init_phase: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Recover a waveform from a magnitude spectrogram.
+
+    Args:
+      magnitude: (..., bins, n_frames) linear magnitude (NOT log-power; invert
+        compression with ops.stft.inverse_log_power first, as the reference
+        does at inference.py:109).
+      key: PRNG key for the random phase init (ignored if init_phase given).
+      init_phase: optional explicit phase (radians) for deterministic parity
+        tests against the NumPy reference.
+
+    Returns:
+      (..., samples) waveform, length ``hop_length * (n_frames - 1)`` unless
+      ``length`` is given.
+    """
+    n_fft = 2 * (magnitude.shape[-2] - 1)
+    if win_length is None:
+        win_length = n_fft
+    if init_phase is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        init_phase = 2.0 * jnp.pi * jax.random.uniform(key, magnitude.shape)
+    angles = jax.lax.complex(jnp.cos(init_phase), jnp.sin(init_phase))
+    magnitude = magnitude.astype(jnp.float32)
+    eps = jnp.float32(1.1754944e-38)
+    mom = jnp.float32(momentum / (1.0 + momentum))
+
+    def body(_, carry):
+        angles, rebuilt_prev = carry
+        inverse = _stft.istft(
+            magnitude * angles, hop_length, win_length, length=length
+        )
+        rebuilt = _stft.stft(inverse, n_fft, hop_length, win_length)
+        angles = rebuilt - mom * rebuilt_prev
+        angles = angles / (jnp.abs(angles) + eps)
+        return angles, rebuilt
+
+    rebuilt0 = jnp.zeros_like(angles)
+    angles, _ = jax.lax.fori_loop(0, n_iter, body, (angles, rebuilt0))
+    return _stft.istft(magnitude * angles, hop_length, win_length, length=length)
+
+
+def griffinlim_from_log_power(
+    spec: jnp.ndarray,
+    key: jax.Array | None = None,
+    n_iter: int = 300,
+    hop_length: int = 256,
+    clip_max: float = 20.0,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """Full reference synthesis path: log-power spec -> waveform.
+
+    Fuses the compression inverse (inference.py:109) and Griffin-Lim
+    (inference.py:110) into one jitted on-device program.
+    """
+    magnitude = _stft.inverse_log_power(spec, clip_max)
+    return griffinlim(
+        magnitude, key=key, n_iter=n_iter, hop_length=hop_length, length=length
+    )

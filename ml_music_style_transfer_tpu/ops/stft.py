@@ -1,0 +1,171 @@
+"""TPU-native STFT / iSTFT and log-power compression (JAX / XLA).
+
+Replaces the reference's librosa calls (preprocessing/preprocess.py:47-57,
+model/inference.py:105-110) with jittable, batched, XLA-fusable ops.
+
+TPU design notes:
+  - Framing uses a dense reshape+shift decomposition (valid whenever
+    ``n_fft % hop_length == 0``, which holds for the reference's 2048/256):
+    the padded signal is viewed as hop-sized blocks and each frame is the
+    concatenation of ``n_fft // hop`` consecutive blocks. This lowers to
+    slices + concats (pure data movement XLA pipelines well) instead of a
+    large gather.
+  - Overlap-add in iSTFT is the same trick in reverse: per-frame hop-sized
+    pieces are summed as shifted dense tensors — no scatter-add.
+  - Windows and NOLA normalization curves depend only on static shapes, so
+    they are precomputed with NumPy at trace time and baked as constants.
+  - Everything supports arbitrary leading batch dims; batched STFT over many
+    chunks at once is how preprocessing reaches MXU/VPU utilization.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import reference as npref
+
+
+@functools.lru_cache(maxsize=None)
+def _window_const(n_fft: int, win_length: int) -> np.ndarray:
+    return npref.pad_center(npref.hann_window(win_length), n_fft).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _wss_inv_const(n_fft: int, win_length: int, hop: int, n_frames: int) -> np.ndarray:
+    """1 / window_sumsquare where > tiny, else 0 (static NOLA normalization)."""
+    window = _window_const(n_fft, win_length)
+    wss = npref.window_sumsquare(window, n_frames, hop, n_fft)
+    inv = np.zeros_like(wss)
+    nz = wss > 1.1754944e-38
+    inv[nz] = 1.0 / wss[nz]
+    return inv.astype(np.float32)
+
+
+def n_frames_for(n_samples: int, hop_length: int, center: bool = True) -> int:
+    """Frame-count contract: 1 + n_samples // hop for centered STFT."""
+    if center:
+        return 1 + n_samples // hop_length
+    raise NotImplementedError("only center=True is used by the pipeline")
+
+
+def _frame_dense(y: jnp.ndarray, n_fft: int, hop: int, n_frames: int) -> jnp.ndarray:
+    """Frame (..., samples) -> (..., n_frames, n_fft) via reshape+shift.
+
+    Requires n_fft % hop == 0 and len(y) >= hop*(n_frames-1) + n_fft.
+    """
+    r = n_fft // hop
+    n_blocks = n_frames - 1 + r
+    blocks = y[..., : n_blocks * hop].reshape(*y.shape[:-1], n_blocks, hop)
+    # frame i = concat(blocks[i], ..., blocks[i+r-1])
+    pieces = [blocks[..., j : j + n_frames, :] for j in range(r)]
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def _frame_gather(y: jnp.ndarray, n_fft: int, hop: int, n_frames: int) -> jnp.ndarray:
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    return y[..., idx]
+
+
+def stft(
+    y: jnp.ndarray,
+    n_fft: int = 2048,
+    hop_length: int = 256,
+    win_length: int | None = None,
+    center: bool = True,
+    pad_mode: str = "reflect",
+) -> jnp.ndarray:
+    """Complex STFT of (..., samples) -> (..., 1 + n_fft//2, n_frames).
+
+    Matches ops.reference.stft (librosa semantics; reference preprocess.py:48).
+    """
+    if win_length is None:
+        win_length = n_fft
+    window = jnp.asarray(_window_const(n_fft, win_length))
+    if center:
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        y = jnp.pad(y, pad, mode=pad_mode)
+    n_frames = 1 + (y.shape[-1] - n_fft) // hop_length
+    if n_fft % hop_length == 0:
+        frames = _frame_dense(y, n_fft, hop_length, n_frames)
+    else:
+        frames = _frame_gather(y, n_fft, hop_length, n_frames)
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    return jnp.swapaxes(spec, -1, -2)
+
+
+def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Overlap-add (..., n_frames, n_fft) -> (..., n_fft + hop*(n_frames-1)).
+
+    Dense shifted-sum when n_fft % hop == 0 (no scatter).
+    """
+    *lead, n_frames, n_fft = frames.shape
+    if n_fft % hop != 0:
+        raise NotImplementedError("hop must divide n_fft for the dense overlap-add")
+    r = n_fft // hop
+    pieces = frames.reshape(*lead, n_frames, r, hop)
+    n_blocks = n_frames - 1 + r
+    total = jnp.zeros((*lead, n_blocks, hop), dtype=frames.dtype)
+    for j in range(r):
+        total = total.at[..., j : j + n_frames, :].add(pieces[..., :, j, :])
+    return total.reshape(*lead, n_blocks * hop)
+
+
+def istft(
+    S: jnp.ndarray,
+    hop_length: int = 256,
+    win_length: int | None = None,
+    center: bool = True,
+    length: int | None = None,
+) -> jnp.ndarray:
+    """Inverse STFT of (..., bins, n_frames) -> (..., samples).
+
+    NOLA-normalized; matches ops.reference.istft / librosa.istft.
+    """
+    n_fft = 2 * (S.shape[-2] - 1)
+    if win_length is None:
+        win_length = n_fft
+    n_frames = S.shape[-1]
+    window = jnp.asarray(_window_const(n_fft, win_length))
+    frames = jnp.fft.irfft(jnp.swapaxes(S, -1, -2), n=n_fft, axis=-1) * window
+    y = _overlap_add(frames, hop_length)
+    inv = jnp.asarray(_wss_inv_const(n_fft, win_length, hop_length, n_frames))
+    y = y * inv
+    if center:
+        y = y[..., n_fft // 2 : y.shape[-1] - n_fft // 2]
+    if length is not None:
+        cur = y.shape[-1]
+        if cur >= length:
+            y = y[..., :length]
+        else:
+            pad = [(0, 0)] * (y.ndim - 1) + [(0, length - cur)]
+            y = jnp.pad(y, pad)
+    return y
+
+
+def log_power(S: jnp.ndarray) -> jnp.ndarray:
+    """log1p(|S|^2) compression (reference preprocess.py:49). Complex or real input."""
+    if jnp.iscomplexobj(S):
+        power = jnp.real(S) ** 2 + jnp.imag(S) ** 2
+    else:
+        power = S**2
+    return jnp.log1p(power)
+
+
+def inverse_log_power(spec: jnp.ndarray, clip_max: float = 20.0) -> jnp.ndarray:
+    """sqrt(expm1(clip(spec, 0, clip_max))) (reference inference.py:109)."""
+    return jnp.sqrt(jnp.expm1(jnp.clip(spec, 0.0, clip_max)))
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length"))
+def log_power_stft(
+    y: jnp.ndarray, n_fft: int = 2048, hop_length: int = 256
+) -> jnp.ndarray:
+    """Fused batched chunk->log-power-spectrogram op (the preprocessing hot path).
+
+    (..., samples) -> (..., 1 + n_fft//2, n_frames); equals
+    reference process_spectrum_from_chunk (preprocess.py:47-57).
+    """
+    return log_power(stft(y, n_fft=n_fft, hop_length=hop_length))

@@ -1,0 +1,146 @@
+"""Parity tests: JAX DSP ops vs the NumPy golden reference (librosa semantics).
+
+This is the assert-based version of the reference's human-in-the-loop
+test_griffinlim.py (SURVEY §4): STFT/compression/Griffin-Lim are checked
+numerically instead of by listening.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ml_music_style_transfer_tpu.config import DEFAULT_DSP
+import ml_music_style_transfer_tpu.ops.reference as npref
+import ml_music_style_transfer_tpu.ops.stft as jstft
+import ml_music_style_transfer_tpu.ops.griffinlim as jgl
+import ml_music_style_transfer_tpu.ops.mel as jmel
+
+
+def _harmonic_signal(n, sr=44100, seed=0):
+    """Deterministic piano-ish test signal: decaying harmonics + light noise."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    y = np.zeros(n)
+    for f0 in (220.0, 330.0, 440.0):
+        for k in range(1, 6):
+            y += (0.5 / k) * np.sin(2 * np.pi * f0 * k * t + rng.uniform(0, 2 * np.pi))
+    y *= np.exp(-t * 0.5)
+    y += 0.001 * rng.standard_normal(n)
+    return (y / np.max(np.abs(y))).astype(np.float32)
+
+
+def _snr_db(ref, est):
+    noise = ref - est
+    return 10 * np.log10(np.sum(ref**2) / max(np.sum(noise**2), 1e-30))
+
+
+class TestSTFT:
+    def test_frame_count_contract(self):
+        # 219,904-sample chunk -> exactly 860 frames (reference preprocess.py:66)
+        hp = DEFAULT_DSP
+        assert hp.samples_per_chunk == 219904
+        assert jstft.n_frames_for(hp.samples_per_chunk, hp.ws) == 860
+        y = _harmonic_signal(hp.samples_per_chunk)
+        S = jstft.stft(jnp.asarray(y), hp.n_fft, hp.ws)
+        assert S.shape == (1025, 860)
+
+    def test_stft_matches_numpy_reference(self):
+        y = _harmonic_signal(40960)
+        S_np = npref.stft(y.astype(np.float64), 2048, 256)
+        S_jx = np.asarray(jstft.stft(jnp.asarray(y), 2048, 256))
+        assert S_jx.shape == S_np.shape
+        scale = np.max(np.abs(S_np))
+        np.testing.assert_allclose(S_jx / scale, S_np / scale, atol=2e-5)
+
+    def test_stft_batched(self):
+        y = np.stack([_harmonic_signal(20480, seed=s) for s in range(3)])
+        S_b = np.asarray(jstft.stft(jnp.asarray(y), 2048, 256))
+        for i in range(3):
+            S_i = np.asarray(jstft.stft(jnp.asarray(y[i]), 2048, 256))
+            np.testing.assert_allclose(S_b[i], S_i, atol=1e-6)
+
+    def test_istft_roundtrip(self):
+        y = _harmonic_signal(40960)
+        S = jstft.stft(jnp.asarray(y), 2048, 256)
+        y_rec = np.asarray(jstft.istft(S, 256, length=len(y)))
+        assert _snr_db(y, y_rec) > 55.0
+
+    def test_istft_matches_numpy_reference(self):
+        y = _harmonic_signal(20480)
+        S = npref.stft(y.astype(np.float64), 2048, 256)
+        y_np = npref.istft(S, 256, length=len(y))
+        y_jx = np.asarray(jstft.istft(jnp.asarray(S.astype(np.complex64)), 256, length=len(y)))
+        np.testing.assert_allclose(y_jx, y_np, atol=2e-5)
+
+    def test_log_power_inverse(self):
+        y = _harmonic_signal(20480)
+        S = jstft.stft(jnp.asarray(y), 2048, 256)
+        compressed = jstft.log_power(S)
+        mag = np.asarray(jstft.inverse_log_power(compressed))
+        np.testing.assert_allclose(mag, np.abs(np.asarray(S)), rtol=1e-3, atol=1e-4)
+
+    def test_log_power_matches_reference(self):
+        y = _harmonic_signal(20480)
+        spec_np = npref.log_power(npref.stft(y.astype(np.float64), 2048, 256))
+        spec_jx = np.asarray(jstft.log_power_stft(jnp.asarray(y)))
+        np.testing.assert_allclose(spec_jx, spec_np, atol=1e-3)
+
+
+class TestGriffinLim:
+    N_ITER = 32  # reduced for CPU test speed; production default is 300
+
+    def test_matches_numpy_reference_with_same_init(self):
+        y = _harmonic_signal(10240)
+        mag = np.abs(npref.stft(y.astype(np.float64), 2048, 256)).astype(np.float32)
+        rng = np.random.default_rng(7)
+        phase = (2 * np.pi * rng.random(mag.shape)).astype(np.float32)
+        y_np = npref.griffinlim(
+            mag.astype(np.float64), self.N_ITER, 256, init_phase=phase.astype(np.float64)
+        )
+        y_jx = np.asarray(
+            jgl.griffinlim(jnp.asarray(mag), n_iter=self.N_ITER, hop_length=256,
+                           init_phase=jnp.asarray(phase))
+        )
+        assert y_jx.shape[-1] == y_np.shape[-1]
+        # float32 vs float64 through 32 FFT iterations: demand close agreement
+        assert _snr_db(y_np.astype(np.float64), y_jx.astype(np.float64)) > 35.0
+
+    def test_spectral_convergence(self):
+        """GL output's magnitude must approach the target (the real quality bar)."""
+        y = _harmonic_signal(10240)
+        mag = np.abs(np.asarray(jstft.stft(jnp.asarray(y), 2048, 256)))
+        wav = np.asarray(
+            jgl.griffinlim(jnp.asarray(mag), key=jax.random.PRNGKey(0),
+                           n_iter=self.N_ITER, hop_length=256)
+        )
+        mag_rec = np.abs(np.asarray(jstft.stft(jnp.asarray(wav), 2048, 256)))
+        rel_err = np.linalg.norm(mag - mag_rec) / np.linalg.norm(mag)
+        assert rel_err < 0.12, rel_err
+
+    def test_full_reference_synthesis_path(self):
+        """log-power spec -> waveform (inference.py:105-110 equivalent), jitted."""
+        y = _harmonic_signal(10240)
+        spec = jstft.log_power_stft(jnp.asarray(y))
+        wav = np.asarray(
+            jgl.griffinlim_from_log_power(spec, key=jax.random.PRNGKey(1), n_iter=8)
+        )
+        assert np.all(np.isfinite(wav))
+        assert wav.shape[-1] == 256 * (spec.shape[-1] - 1)
+
+
+class TestMel:
+    def test_filterbank_shape_and_coverage(self):
+        fb = np.asarray(jmel.mel_filterbank(44100, 2048, 128))
+        assert fb.shape == (128, 1025)
+        assert np.all(fb >= 0)
+        # every mel band has some support; interior fft bins are covered
+        assert np.all(fb.sum(axis=1) > 0)
+
+    def test_mel_projection(self):
+        y = _harmonic_signal(20480)
+        S = np.asarray(jstft.stft(jnp.asarray(y), 2048, 256))
+        power = np.abs(S) ** 2
+        m_jx = np.asarray(jmel.melspectrogram_from_power(jnp.asarray(power.astype(np.float32))))
+        m_np = npref.mel_filterbank(44100, 2048, 128) @ power
+        np.testing.assert_allclose(m_jx, m_np, rtol=2e-3, atol=1e-4)
