@@ -1,0 +1,39 @@
+"""WAV read/write + resampling (host side).
+
+Replaces librosa.load / soundfile.write (reference preprocess.py:106,
+io_manager.py:27-29, inference.py:91) — neither library is a dependency.
+Reading returns mono float32 in [-1, 1] resampled to the target rate,
+matching librosa.load(sr=...) semantics (resampler: polyphase).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+
+def read_wav(path: str, sr: int | None = 44100) -> tuple[np.ndarray, int]:
+    """Load a WAV as mono float32 in [-1, 1], resampled to ``sr`` if given."""
+    rate, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        y = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        y = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        y = (data.astype(np.float32) - 128.0) / 128.0
+    else:  # float32/float64 wavs
+        y = data.astype(np.float32)
+    if y.ndim == 2:
+        y = y.mean(axis=1)
+    if sr is not None and rate != sr:
+        g = np.gcd(int(sr), int(rate))
+        y = resample_poly(y.astype(np.float64), sr // g, rate // g).astype(np.float32)
+        rate = sr
+    return np.ascontiguousarray(y, dtype=np.float32), rate
+
+
+def write_wav(path: str, y: np.ndarray, sr: int = 44100) -> None:
+    """Write mono float array as 16-bit PCM WAV (sf.write equivalent)."""
+    y = np.asarray(y, dtype=np.float32)
+    y = np.clip(y, -1.0, 1.0)
+    wavfile.write(path, sr, (y * 32767.0).astype(np.int16))

@@ -1,0 +1,179 @@
+"""Preprocessing pipeline: (MIDI, multi-style WAV) -> aligned HDF5 chunks.
+
+TPU-native rebuild of reference preprocessing/preprocess.py:163-232. Public
+entry points and flags match the reference CLI; the hot path differs by
+design: spectrograms are computed as ONE batched on-device STFT per
+(song, style) — thousands of frames per dispatch riding the TPU — instead of
+a per-chunk host librosa loop (reference preprocess.py:60-77).
+
+Graceful-skip semantics for missing style audio are kept
+(preprocess.py:185-190), as are the debug alignment dumps (wav + mid per
+chunk, io_manager.py:22-36).
+
+CLI:
+    python -m ml_music_style_transfer_tpu.data.preprocess \
+        -data-dir DIR -dataset-outpath OUT -data-type {train,test} [--debug]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import zipfile
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DSPConfig, DEFAULT_DSP, PIANO_SCORES, STYLES
+from ..midi import parser as midi_parser
+from ..midi import writer as midi_writer
+from ..midi import pianoroll as pr
+from ..ops import stft as jstft
+from . import audio_io, chunking
+from .hdf5_store import H5Store
+
+DEBUG_DIR = "debugdir"
+_STFT_BATCH = 32  # chunks per device dispatch (bounds HBM + host staging)
+
+
+def str2bool(v) -> bool:
+    """CLI boolean (reference io_manager.py:10-19)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def load_audio(data_dir: str, song_id, style: str, hp: DSPConfig = DEFAULT_DSP) -> np.ndarray:
+    """Glob {song_id}*{style}.wav and load at hp.sr (preprocess.py:99-115)."""
+    matches = glob.glob(f"{data_dir}/{song_id}*{style}.wav")
+    if len(matches) == 0:
+        raise ValueError("couldnt find audio track!")
+    if len(matches) > 1:
+        raise ValueError(f"multiple files picked up, issue: {matches}")
+    y, _ = audio_io.read_wav(matches[0], sr=hp.sr)
+    return y
+
+
+def load_midi(data_dir: str, song_id, ext: str = "mixcraft", hp: DSPConfig = DEFAULT_DSP):
+    """Glob {song_id}*{ext}.mid -> (binarized roll, onoff) at wps Hz
+    (preprocess.py:139-160, with the onoff loop vectorized)."""
+    matches = glob.glob(f"{data_dir}/{song_id}*{ext}.mid")
+    if len(matches) == 0:
+        raise ValueError("couldnt find midi track!")
+    if len(matches) > 1:
+        raise ValueError(f"multiple files picked up, issue: {matches}")
+    mf = midi_parser.load(matches[0])
+    return pr.vectorize_notes(mf.notes, hp.wps)
+
+
+def spectrograms_from_chunks(audio_chunks: np.ndarray, hp: DSPConfig = DEFAULT_DSP) -> np.ndarray:
+    """(N, samples) -> (N, 1025, 860) log-power specs, batched on device.
+
+    Equivalent to N calls of the reference's process_spectrum_from_chunk
+    (preprocess.py:47-57) but dispatched in _STFT_BATCH-sized device batches.
+    """
+    outs = []
+    for i in range(0, len(audio_chunks), _STFT_BATCH):
+        batch = jnp.asarray(audio_chunks[i : i + _STFT_BATCH])
+        outs.append(np.asarray(jstft.log_power_stft(batch, hp.n_fft, hp.ws)))
+    return np.concatenate(outs, axis=0) if outs else np.zeros((0, hp.n_freq_bins, hp.windows_per_chunk), np.float32)
+
+
+def _write_debug_samples(debug_dir, song_id, step, hp, style=None, audio_chunk=None, roll_chunk=None):
+    """Listen-back alignment dumps (reference io_manager.py:22-36)."""
+    os.makedirs(debug_dir, exist_ok=True)
+    if audio_chunk is not None:
+        audio_io.write_wav(os.path.join(debug_dir, f"{song_id}_{style}_c{step}.wav"), audio_chunk, hp.sr)
+    if roll_chunk is not None:
+        notes = pr.pianoroll_to_notes(roll_chunk, hp.wps)
+        midi_writer.save(os.path.join(debug_dir, f"{song_id}_c{step}.mid"), notes)
+
+
+def get_data(
+    data_dir: str,
+    dataset_outpath: str,
+    data_type: str,
+    debug: bool = False,
+    hp: DSPConfig = DEFAULT_DSP,
+    song_ids=None,
+    styles=None,
+    max_chunks: int = 100,
+    dtype: str = "float32",
+) -> str:
+    """Build {dataset_outpath}_{data_type}.hdf5 (reference preprocess.py:163-200)."""
+    song_ids = PIANO_SCORES[data_type] if song_ids is None else song_ids
+    styles = STYLES if styles is None else styles
+    h5pyname = f"{dataset_outpath}_{data_type}.hdf5"
+    with h5py.File(h5pyname, "w") as h5f:
+        store = H5Store(h5f, dtype=dtype)
+        for song_id in song_ids:
+            roll, onoff = load_midi(data_dir, song_id, hp=hp)
+            num_chunks = chunking.num_song_chunks(roll.shape[0], hp, max_chunks=max_chunks)
+            print(f"song {song_id}: {num_chunks} chunks")
+            roll_chunks = chunking.chunk_pianoroll(roll, num_chunks, hp)
+            onoff_chunks = chunking.chunk_pianoroll(onoff, num_chunks, hp)
+            if debug:
+                for step in range(num_chunks):
+                    _write_debug_samples(DEBUG_DIR, song_id, step, hp, roll_chunk=roll_chunks[step])
+            store.write_pianoroll(roll_chunks, onoff_chunks)
+
+            for style in styles:
+                try:
+                    audio = load_audio(data_dir, song_id, style, hp)
+                except Exception:
+                    # not all styles exist for all midi (preprocess.py:185-190)
+                    print(f"Couldnt load audio for song={song_id}, style={style}, skipping...")
+                    continue
+                audio_chunks = chunking.chunk_audio(audio, num_chunks, hp)
+                if debug:
+                    for step in range(num_chunks):
+                        _write_debug_samples(DEBUG_DIR, song_id, step, hp, style=style, audio_chunk=audio_chunks[step])
+                spec_chunks = spectrograms_from_chunks(audio_chunks, hp)
+                store.write_spectrum(spec_chunks, style)
+                if debug:
+                    assert roll_chunks.shape[0] == spec_chunks.shape[0]
+                    assert roll_chunks.shape == onoff_chunks.shape
+    return h5pyname
+
+
+def main(args) -> None:
+    if zipfile.is_zipfile(args.data_dir):
+        print("Extracting zip file to local")
+        cwd = os.getcwd()
+        with zipfile.ZipFile(args.data_dir, "r") as zf:
+            root = os.path.dirname(zf.namelist()[0])
+            zf.extractall(cwd)
+        args.data_dir = os.path.join(cwd, root)
+    get_data(
+        args.data_dir,
+        args.dataset_outpath,
+        args.data_type,
+        debug=args.debug,
+        max_chunks=args.max_chunks_per_song,
+        song_ids=args.song_ids,
+    )
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-data-dir", dest="data_dir", type=str, required=True,
+                        help="dataset directory (or a zipfile to extract)")
+    parser.add_argument("-dataset-outpath", dest="dataset_outpath", type=str, required=True,
+                        help="output basename; _{data-type}.hdf5 is appended")
+    parser.add_argument("-max-chunks-per-song", dest="max_chunks_per_song", type=int, default=100)
+    parser.add_argument("-data-type", dest="data_type", type=str, default="train",
+                        choices=["train", "test"])
+    parser.add_argument("--debug", type=str2bool, default=False,
+                        help="write per-chunk wav/mid alignment dumps to debugdir")
+    parser.add_argument("--song-ids", dest="song_ids", type=int, nargs="*", default=None,
+                        help="override the built-in MusicNet id list (useful for partial datasets)")
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_argparser().parse_args())

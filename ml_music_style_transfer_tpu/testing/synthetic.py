@@ -1,0 +1,96 @@
+"""Synthetic dataset generation for tests, demos, and benchmarks.
+
+MusicNet audio/MIDI is not shipped with either repo; this module renders a
+style-transfer dataset directory with the exact file-naming contract the
+preprocess pipeline expects (reference preprocess.py:100 ``{id}*{style}.wav``,
+:140 ``{id}*mixcraft.mid``): per song a MIDI file plus one WAV per timbre
+style, rendered with style-specific additive synthesis so different styles
+genuinely differ in timbre.
+"""
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+from ..midi.parser import Note
+from ..midi import writer as midi_writer
+from ..data.audio_io import write_wav
+
+# harmonic amplitude profile + amplitude decay rate per style
+STYLE_TIMBRES = {
+    "cuba": ((1.0, 0.4, 0.25, 0.1), 2.0),
+    "aliciakeys": ((1.0, 0.6, 0.3, 0.15, 0.08), 1.2),
+    "gentleman": ((1.0, 0.3, 0.1), 0.8),
+    "harpsichord": ((1.0, 0.8, 0.6, 0.5, 0.4, 0.3), 4.0),
+    "upright": ((1.0, 0.5, 0.2, 0.1, 0.05), 1.6),
+}
+
+
+def random_song(
+    rng: np.random.Generator, duration: float = 20.0, notes_per_sec: float = 3.0
+) -> list[Note]:
+    """A random plausible piano part: diatonic pitches, varied durations."""
+    scale = np.array([0, 2, 4, 5, 7, 9, 11])
+    n_notes = max(4, int(duration * notes_per_sec))
+    notes = []
+    t = 0.0
+    for _ in range(n_notes):
+        pitch = int(48 + 12 * rng.integers(0, 3) + rng.choice(scale))
+        dur = float(rng.uniform(0.15, 0.8))
+        vel = int(rng.integers(50, 120))
+        notes.append(Note(pitch, vel, round(t, 4), round(min(t + dur, duration), 4)))
+        t += float(rng.uniform(0.1, 0.5))
+        if t >= duration - 0.2:
+            break
+    return notes
+
+
+def render_notes(
+    notes: Sequence[Note], style: str, sr: int = 44100, duration: float | None = None
+) -> np.ndarray:
+    """Additive-synthesis rendering of notes with a style-specific timbre."""
+    harmonics, decay = STYLE_TIMBRES[style]
+    if duration is None:
+        duration = max((n.end for n in notes), default=1.0) + 0.5
+    n_samples = int(duration * sr)
+    y = np.zeros(n_samples, dtype=np.float64)
+    for note in notes:
+        f0 = 440.0 * 2.0 ** ((note.pitch - 69) / 12.0)
+        s = int(note.start * sr)
+        e = min(int(note.end * sr), n_samples)
+        if e <= s:
+            continue
+        t = np.arange(e - s) / sr
+        env = (note.velocity / 127.0) * np.exp(-decay * t)
+        env[: min(64, len(env))] *= np.linspace(0, 1, min(64, len(env)))  # declick
+        seg = np.zeros(e - s)
+        for k, amp in enumerate(harmonics, start=1):
+            if f0 * k < sr / 2:
+                seg += amp * np.sin(2 * np.pi * f0 * k * t)
+        y[s:e] += env * seg
+    peak = np.max(np.abs(y))
+    if peak > 0:
+        y = 0.5 * y / peak
+    return y.astype(np.float32)
+
+
+def make_dataset_dir(
+    out_dir: str,
+    song_ids: Sequence[int],
+    styles: Sequence[str] = tuple(STYLE_TIMBRES),
+    duration: float = 20.0,
+    sr: int = 44100,
+    seed: int = 0,
+) -> str:
+    """Write ``{id}_mixcraft.mid`` + ``{id}_{style}.wav`` per song into out_dir."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for song_id in song_ids:
+        notes = random_song(rng, duration)
+        midi_writer.save(os.path.join(out_dir, f"{song_id}_mixcraft.mid"), notes)
+        for style in styles:
+            y = render_notes(notes, style, sr, duration)
+            write_wav(os.path.join(out_dir, f"{song_id}_{style}.wav"), y, sr)
+    return out_dir

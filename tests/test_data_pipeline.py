@@ -1,0 +1,141 @@
+"""Data-layer tests: chunk math, HDF5 schema, full preprocess pipeline e2e."""
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from ml_music_style_transfer_tpu.config import DEFAULT_DSP
+from ml_music_style_transfer_tpu.data import audio_io, chunking
+from ml_music_style_transfer_tpu.data.hdf5_store import H5Store, load_dataset
+from ml_music_style_transfer_tpu.data import preprocess as pp
+from ml_music_style_transfer_tpu.data import musicnet
+from ml_music_style_transfer_tpu.testing import synthetic
+
+hp = DEFAULT_DSP
+
+
+class TestChunkMath:
+    def test_num_chunks_formula(self):
+        # (roll_len - 860)//512, minus 10%, capped (preprocess.py:118-136)
+        assert chunking.num_song_chunks(860 + 512 * 10) == 9   # 10 - int(1.0)
+        assert chunking.num_song_chunks(860 + 512 * 200) == 100  # capped
+        assert chunking.num_song_chunks(500) == 0
+        assert chunking.num_song_chunks(860 + 512 * 200, max_chunks=5) == 5
+
+    def test_audio_chunk_indexing(self):
+        audio = np.arange(hp.chunk_hop_samples * 2 + hp.samples_per_chunk, dtype=np.float32)
+        chunks = chunking.chunk_audio(audio, 3, hp)
+        assert chunks.shape == (3, 219904)
+        # chunk k starts at k*ws*stride (preprocess.py:67)
+        assert chunks[1, 0] == hp.ws * hp.stride
+        assert chunks[2, 0] == 2 * hp.ws * hp.stride
+
+    def test_roll_chunk_indexing(self):
+        roll = np.tile(np.arange(860 + 512 * 2, dtype=np.float32)[:, None], (1, 128))
+        chunks = chunking.chunk_pianoroll(roll, 3, hp)
+        assert chunks.shape == (3, 860, 128)
+        assert chunks[1, 0, 0] == hp.stride
+        assert chunks[2, 0, 0] == 2 * hp.stride
+
+    def test_alignment_contract(self):
+        """Audio chunk k's STFT frames must cover the same time span as roll chunk k."""
+        # chunk hop in samples == stride windows * ws samples/window: same clock
+        assert hp.chunk_hop_samples == hp.stride * hp.ws
+        assert hp.samples_per_chunk == (hp.windows_per_chunk - 1) * hp.ws
+
+
+class TestWavIO:
+    def test_roundtrip(self, tmp_path):
+        y = (0.5 * np.sin(np.arange(44100) / 30.0)).astype(np.float32)
+        p = str(tmp_path / "t.wav")
+        audio_io.write_wav(p, y, 44100)
+        y2, sr = audio_io.read_wav(p, sr=44100)
+        assert sr == 44100
+        assert len(y2) == len(y)
+        np.testing.assert_allclose(y2, y, atol=1e-3)
+
+    def test_resample(self, tmp_path):
+        y = (0.5 * np.sin(2 * np.pi * 440 * np.arange(22050) / 22050.0)).astype(np.float32)
+        p = str(tmp_path / "t22k.wav")
+        audio_io.write_wav(p, y, 22050)
+        y2, sr = audio_io.read_wav(p, sr=44100)
+        assert sr == 44100
+        assert abs(len(y2) - 44100) <= 2
+
+
+class TestH5Schema:
+    def test_schema_keys_and_append(self, tmp_path):
+        p = str(tmp_path / "d.hdf5")
+        with h5py.File(p, "w") as f:
+            s = H5Store(f)
+            s.write_pianoroll(np.zeros((3, 860, 128)), np.zeros((3, 860, 128)))
+            s.write_spectrum(np.zeros((3, 1025, 860)), "cuba")
+            s.write_pianoroll(np.ones((2, 860, 128)), np.ones((2, 860, 128)))
+            s.write_spectrum(np.ones((2, 1025, 860)), "cuba")
+        d = load_dataset(p)
+        assert set(d) == {"pianoroll", "onoff", "spec_cuba"}
+        assert d["pianoroll"].shape == (5, 860, 128)
+        assert d["spec_cuba"].shape == (5, 1025, 860)
+        assert d["pianoroll"][3].max() == 1.0  # appended rows landed
+
+    def test_n_read_cap(self, tmp_path):
+        p = str(tmp_path / "d.hdf5")
+        with h5py.File(p, "w") as f:
+            H5Store(f).write_pianoroll(np.zeros((6, 10, 128)), np.zeros((6, 10, 128)))
+        d = load_dataset(p, n_read=2)
+        assert d["pianoroll"].shape[0] == 2
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synthdata")
+    synthetic.make_dataset_dir(str(d), song_ids=[101, 202], styles=["cuba", "upright"],
+                               duration=12.0, seed=3)
+    return str(d)
+
+
+class TestPreprocessE2E:
+    def test_full_pipeline(self, synth_dir, tmp_path):
+        out = pp.get_data(synth_dir, str(tmp_path / "ds"), "train",
+                          song_ids=[101, 202], styles=["cuba", "upright"])
+        d = load_dataset(out)
+        assert set(d) == {"pianoroll", "onoff", "spec_cuba", "spec_upright"}
+        n = d["pianoroll"].shape[0]
+        assert n > 0
+        for k in d:
+            assert d[k].shape[0] == n, k  # index alignment across all keys
+        assert d["pianoroll"].shape[1:] == (860, 128)
+        assert d["spec_cuba"].shape[1:] == (1025, 860)
+        assert set(np.unique(d["pianoroll"])).issubset({0.0, 1.0})
+        assert np.all(np.isfinite(d["spec_cuba"]))
+        # spectrograms of different styles must differ (timbre signal exists)
+        assert not np.allclose(d["spec_cuba"], d["spec_upright"])
+
+    def test_missing_style_graceful_skip(self, synth_dir, tmp_path):
+        out = pp.get_data(synth_dir, str(tmp_path / "ds2"), "train",
+                          song_ids=[101], styles=["cuba", "harpsichord"])
+        d = load_dataset(out)
+        assert "spec_cuba" in d and "spec_harpsichord" not in d
+
+    def test_debug_alignment_dumps(self, synth_dir, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        pp.get_data(synth_dir, str(tmp_path / "ds3"), "train",
+                    song_ids=[101], styles=["cuba"], debug=True, max_chunks=2)
+        wavs = [f for f in os.listdir("debugdir") if f.endswith(".wav")]
+        mids = [f for f in os.listdir("debugdir") if f.endswith(".mid")]
+        assert len(wavs) == 2 and len(mids) == 2
+
+
+class TestMusicNetCuration:
+    def test_piano_filter(self, tmp_path, monkeypatch):
+        labels = tmp_path / "train_labels"
+        labels.mkdir()
+        (labels / "1234.csv").write_text(
+            "start_time,end_time,instrument,note\n0,10,1,60\n10,20,1,62\n")
+        (labels / "5678.csv").write_text(
+            "start_time,end_time,instrument,note\n0,10,1,60\n10,20,41,62\n")
+        monkeypatch.chdir(tmp_path)
+        ids = musicnet.extract_piano_pieces(str(tmp_path), "train", "pieces")
+        assert ids == ["1234"]
+        assert (tmp_path / "pieces_train.txt").read_text() == "1234\n"
