@@ -1,0 +1,133 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): spectrogram-frames/sec/chip through a FULL
+train step (fwd+bwd+Adam) of the full-size PerformanceNet at batch 16.
+``vs_baseline`` compares against the reference implementation's measured CPU
+throughput on the same step (stored in BASELINE_MEASURED.json by
+scripts/measure_reference_baseline.py; the reference publishes no numbers —
+BASELINE.md documents the measurement).
+
+Extra fields report the other BASELINE configs: batched preprocessing STFT
+throughput and on-device Griffin-Lim (300 iters) seconds per 10 s clip.
+
+Usage: python bench.py [--width-mult F] [--batch-size N] [--steps N]
+All diagnostics go to stderr; stdout carries exactly one JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width-mult", type=float, default=1.0)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--skip-extras", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ml_music_style_transfer_tpu.config import ModelConfig, TrainConfig
+    from ml_music_style_transfer_tpu.ops import griffinlim as jgl
+    from ml_music_style_transfer_tpu.ops import stft as jstft
+    from ml_music_style_transfer_tpu.train.loop import Trainer
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    B, T = args.batch_size, 860
+    model_cfg = ModelConfig(width_mult=args.width_mult)
+    trainer = Trainer(model_cfg, TrainConfig(batch_size=B))
+    params, opt_state = trainer.init_state(0)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    log(f"params: {n_params/1e6:.1f}M, width_mult={args.width_mult}")
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "midi": (rng.random((B, T, 128)) < 0.05).astype(np.float32),
+        "onoff": rng.choice([-1.0, 0.0, 1.0], (B, T, 128), p=[0.02, 0.96, 0.02]).astype(np.float32),
+        "cond": (rng.random((B, T, 1025)) * 3).astype(np.float32),
+        "target": (rng.random((B, T, 1025)) * 3).astype(np.float32),
+        "weight": np.ones((B,), np.float32),
+    }
+    batch = jax.device_put(batch, trainer._batch_sharding)
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = trainer.train_step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    log(f"train_step compile+first: {time.perf_counter()-t0:.1f}s loss={float(loss):.4f}")
+
+    times = []
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        params, opt_state, loss = trainer.train_step(params, opt_state, batch, sub)
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    step_time = float(np.median(times))
+    frames_per_sec = B * T / step_time
+    log(f"steady step: {step_time*1e3:.1f} ms -> {frames_per_sec:,.0f} frames/s/chip")
+
+    extras = {}
+    if not args.skip_extras:
+        # batched preprocessing STFT throughput (BASELINE config 2)
+        chunks = rng.standard_normal((32, 219904)).astype(np.float32)
+        x = jnp.asarray(chunks)
+        s = jstft.log_power_stft(x)
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            s = jstft.log_power_stft(x)
+        jax.block_until_ready(s)
+        extras["preprocess_frames_per_sec"] = 32 * 860 * 5 / (time.perf_counter() - t0)
+
+        # Griffin-Lim 300 iters, 10 s clip (BASELINE config 5 / north star)
+        n_frames_10s = 1 + (10 * 44100) // 256
+        mag = jnp.asarray(np.abs(rng.standard_normal((1025, n_frames_10s))).astype(np.float32))
+        w = jgl.griffinlim(mag, key=jax.random.PRNGKey(0), n_iter=300)
+        jax.block_until_ready(w)
+        t0 = time.perf_counter()
+        w = jgl.griffinlim(mag, key=jax.random.PRNGKey(0), n_iter=300)
+        jax.block_until_ready(w)
+        extras["griffinlim_sec_per_10s_clip"] = time.perf_counter() - t0
+        log(f"extras: {extras}")
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref_fps = base.get("reference_train_frames_per_sec_cpu")
+        if ref_fps:
+            vs_baseline = frames_per_sec / ref_fps
+            extras["baseline_note"] = base.get("note", "")
+
+    result = {
+        "metric": "train_step_spectrogram_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "step_time_ms": round(step_time * 1e3, 2),
+        "batch_size": B,
+        "params_m": round(n_params / 1e6, 1),
+        "device": str(dev),
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -175,5 +175,9 @@ def build_argparser() -> argparse.ArgumentParser:
     return parser
 
 
-if __name__ == "__main__":
+def cli() -> None:
     main(build_argparser().parse_args())
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,39 @@
+"""Inference CLI — the reference's inference.py entry point, same flags.
+
+    python -m ml_music_style_transfer_tpu.infer.cli \
+        -exp-name NAME -midi-source PATH -audio-source PATH [--width-mult F]
+
+Reference CLI: model/inference.py:112-124 (exp dir resolved as
+./experiments/{exp_name}; checkpoint picked via hyperparams.json best_epoch).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..config import ModelConfig
+from .synthesize import AudioSynthesizer
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-exp-name", dest="exp_name", type=str, required=True)
+    p.add_argument("-midi-source", dest="midi_source", type=str, required=True)
+    p.add_argument("-audio-source", dest="audio_source", type=str, required=True)
+    p.add_argument("--width-mult", type=float, default=1.0,
+                   help="must match the trained model's width")
+    p.add_argument("--n-iter", type=int, default=300, help="Griffin-Lim iterations")
+    args = p.parse_args(argv)
+
+    exp_dir = os.path.join(os.path.abspath("./experiments"), args.exp_name)
+    synth = AudioSynthesizer(
+        exp_dir, args.midi_source, args.audio_source,
+        model_cfg=ModelConfig(width_mult=args.width_mult),
+    )
+    outs = synth.inference(n_iter=args.n_iter)
+    for o in outs:
+        print(f"wrote {o}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Inference / synthesis: user MIDI + timbre audio -> styled waveform.
+
+Rebuild of reference model/inference.py:22-110 (AudioSynthesizer):
+  - checkpoint resolution via hyperparams.json best_epoch
+    (inference.py:120-122) through train/checkpoint.py
+  - custom MIDI/audio processing REUSES midi/ + ops/ (the reference
+    duplicates its preprocessing code at inference.py:40-49; here there is
+    one implementation)
+  - XLA needs static shapes, so arbitrary-length MIDI is tiled into
+    860-frame chunks (padded at the tail), run as ONE batched jitted forward,
+    and the predicted spectrogram chunks are concatenated and trimmed — the
+    chunking contract is the same one training uses (SURVEY §5
+    long-context note)
+  - Griffin-Lim phase recovery (300 iters) runs fully on-device
+    (ops/griffinlim.py) instead of the reference's host librosa loop
+    (inference.py:105-110)
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DSPConfig, DEFAULT_DSP, ModelConfig
+from ..data import audio_io
+from ..midi import parser as midi_parser
+from ..midi import pianoroll as pr
+from ..models import PerformanceNet
+from ..ops import griffinlim as jgl
+from ..ops import stft as jstft
+from ..train import checkpoint as ckpt
+
+
+class AudioSynthesizer:
+    """Style-transfer synthesis from a trained experiment directory."""
+
+    def __init__(
+        self,
+        exp_dir: str,
+        midi_source: str,
+        audio_source: str,
+        model_cfg: ModelConfig = ModelConfig(),
+        hp: DSPConfig = DEFAULT_DSP,
+        checkpoint_path: str | None = None,
+    ):
+        self.exp_dir = exp_dir
+        self.hp = hp
+        self.midi_source = midi_source
+        self.audio_source = audio_source
+        self.model = PerformanceNet(model_cfg)
+        self.model_cfg = model_cfg
+        if checkpoint_path is None:
+            checkpoint_path, _ = ckpt.best_checkpoint(exp_dir)
+        self.params = self._load_params(checkpoint_path)
+
+    def _load_params(self, path: str):
+        t = self.hp.windows_per_chunk
+        dummy = (
+            jnp.zeros((1, t, self.model_cfg.start_channels), jnp.float32),
+            jnp.zeros((1, t, self.model_cfg.start_audio_channels), jnp.float32),
+            jnp.zeros((1, t, self.model_cfg.start_channels), jnp.float32),
+        )
+        template = jax.device_get(
+            jax.eval_shape(self.model.init, jax.random.PRNGKey(0), *dummy)
+        )
+        template = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), template)
+        state = ckpt.restore_checkpoint(path, {"params": template})  # ignores extra keys
+        return jax.device_put(state["params"])
+
+    # ---- input processing (reference inference.py:37-71, deduplicated) --
+    def process_custom_midi_and_audio(self, midi_path: str, audio_path: str):
+        """MIDI -> chunked (N,860,128) roll/onoff; audio -> (860,1025) cond spec."""
+        hp = self.hp
+        mf = midi_parser.load(midi_path)
+        roll, onoff = pr.vectorize_notes(mf.notes, hp.wps)
+        t_total = roll.shape[0]
+        win = hp.windows_per_chunk
+        n_chunks = max(1, -(-t_total // win))
+        pad = n_chunks * win - t_total
+        roll = np.pad(roll, ((0, pad), (0, 0))).astype(np.float32)
+        onoff = np.pad(onoff, ((0, pad), (0, 0))).astype(np.float32)
+        roll_chunks = roll.reshape(n_chunks, win, 128)
+        onoff_chunks = onoff.reshape(n_chunks, win, 128)
+
+        audio, _ = audio_io.read_wav(audio_path, sr=hp.sr)
+        spec = np.asarray(jstft.log_power_stft(jnp.asarray(audio), hp.n_fft, hp.ws)).T  # (T,1025)
+        # conditioning chunk: center 860 frames (repeat if shorter)
+        if spec.shape[0] < win:
+            reps = -(-win // spec.shape[0])
+            spec = np.tile(spec, (reps, 1))
+        start = (spec.shape[0] - win) // 2
+        cond = spec[start : start + win].astype(np.float32)
+        return roll_chunks, onoff_chunks, cond, t_total
+
+    # ---- synthesis ------------------------------------------------------
+    def predict_spectrogram(self, roll_chunks, onoff_chunks, cond, t_total) -> np.ndarray:
+        """Batched jitted forward over all chunks -> (t_total, 1025) log-power spec."""
+        n = roll_chunks.shape[0]
+        cond_b = jnp.broadcast_to(jnp.asarray(cond), (n,) + cond.shape)
+        pred = jax.jit(lambda p, m, a, c: self.model.apply(p, m, a, c, deterministic=True))(
+            self.params, jnp.asarray(roll_chunks), cond_b, jnp.asarray(onoff_chunks)
+        )
+        spec = np.asarray(pred).reshape(n * self.hp.windows_per_chunk, -1)[:t_total]
+        return spec
+
+    def inference(self, n_iter: int = 300, output_dir: str | None = None) -> list[str]:
+        """Full path (reference inference.py:74-91): predict spec -> Griffin-Lim
+        on device -> write output-{i}.wav into an auto-numbered directory."""
+        chunks = self.process_custom_midi_and_audio(self.midi_source, self.audio_source)
+        print("Inferencing spectrogram......")
+        spec = self.predict_spectrogram(*chunks)
+        out_dir = output_dir or self.create_output_dir()
+        wav = np.asarray(
+            jgl.griffinlim_from_log_power(
+                jnp.asarray(spec.T), key=jax.random.PRNGKey(0), n_iter=n_iter,
+                hop_length=self.hp.ws, clip_max=self.hp.clip_log_power_max,
+            )
+        )
+        path = os.path.join(out_dir, "output-1.wav")
+        audio_io.write_wav(path, wav, self.hp.sr)
+        return [path]
+
+    def create_output_dir(self) -> str:
+        """Auto-numbered audio_output_{n} dir (reference inference.py:93-103)."""
+        dir_id = 1
+        while True:
+            out = os.path.join(self.exp_dir, f"audio_output_{dir_id}")
+            try:
+                os.makedirs(out)
+                return out
+            except FileExistsError:
+                dir_id += 1
+
+    def griffinlim(self, spectrogram: np.ndarray, n_iter: int = 300) -> np.ndarray:
+        """Log-power spec (bins, frames) -> waveform, on-device
+        (reference inference.py:105-110 signature equivalent)."""
+        return np.asarray(
+            jgl.griffinlim_from_log_power(
+                jnp.asarray(spectrogram), key=jax.random.PRNGKey(0),
+                n_iter=n_iter, hop_length=self.hp.ws,
+                clip_max=self.hp.clip_log_power_max,
+            )
+        )

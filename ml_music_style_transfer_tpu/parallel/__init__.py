@@ -1,0 +1,2 @@
+"""Parallelism: device mesh, sharding rules, distributed train-step wiring."""
+from . import mesh  # noqa: F401

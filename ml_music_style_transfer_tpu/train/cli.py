@@ -1,0 +1,58 @@
+"""Training CLI — the reference's train.py entry point, same flags.
+
+    python -m ml_music_style_transfer_tpu.train.cli \
+        -data-dir PATH_BASENAME -exp-name NAME [-epochs N] [-test-freq N] \
+        [--batch-size N] [--n-train-read N] [--n-test-read N] [--resume] \
+        [--width-mult F] [--mesh-data N] [--mesh-model N] [--spectral-loss W]
+
+Reference CLI: model/train.py:211-220.
+"""
+from __future__ import annotations
+
+import argparse
+
+from ..config import ModelConfig, TrainConfig
+from ..parallel import mesh as pmesh
+from .loop import Trainer
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-data-dir", dest="data_dir", type=str, required=True,
+                   help="dataset basename; _train.hdf5/_test.hdf5 are appended")
+    p.add_argument("-epochs", dest="epochs", type=int, default=1)
+    p.add_argument("-test-freq", dest="test_freq", type=int, default=1)
+    p.add_argument("-exp-name", dest="exp_name", type=str, default="piano_test")
+    p.add_argument("--n-train-read", type=int, default=None)
+    p.add_argument("--n-test-read", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
+    p.add_argument("--width-mult", type=float, default=1.0,
+                   help="channel-width multiplier (1.0 = reference full size)")
+    p.add_argument("--mesh-data", type=int, default=1, help="data-parallel axis size")
+    p.add_argument("--mesh-model", type=int, default=1, help="tensor-parallel axis size")
+    p.add_argument("--spectral-loss", type=float, default=0.0,
+                   help="weight of the DDSP-style multi-scale spectral loss")
+    p.add_argument("--compat-mbr-noop", action="store_true",
+                   help="reproduce the reference MBRBlock no-op/doubling behavior")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    model_cfg = ModelConfig(width_mult=args.width_mult, compat_mbr_noop=args.compat_mbr_noop)
+    train_cfg = TrainConfig(
+        epochs=args.epochs, test_freq=args.test_freq, exp_name=args.exp_name,
+        batch_size=args.batch_size, learning_rate=args.lr,
+        n_train_read=args.n_train_read, n_test_read=args.n_test_read,
+        spectral_loss_weight=args.spectral_loss,
+        mesh_shape=(args.mesh_data, args.mesh_model),
+    )
+    mesh = pmesh.make_mesh(args.mesh_data, args.mesh_model) \
+        if args.mesh_data * args.mesh_model > 1 else None
+    Trainer(model_cfg, train_cfg, mesh=mesh).fit(args.data_dir, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

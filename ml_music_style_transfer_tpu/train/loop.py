@@ -1,0 +1,219 @@
+"""Training loop: jitted sharded steps + experiment management.
+
+Rebuild of reference model/train.py:125-208, TPU-native:
+  - one jitted ``train_step`` keeps forward + backward + Adam update
+    on-device (vs the reference's eager per-batch Python, train.py:128-143)
+  - batches are host-assembled arrays, device_put once per batch with the
+    mesh's batch sharding and prefetched one step ahead (vs per-item
+    ``torch.cuda.FloatTensor``, the reference's own noted bottleneck,
+    train.py:53-57,93-96)
+  - params/optimizer state live sharded on the (data, model) mesh
+    (parallel/mesh.py); a 1x1 mesh is the single-chip degenerate case
+  - L1 train / MSE eval losses (train.py:132,158), optional multi-scale
+    spectral loss (train.py:119-123 intent) behind a config weight
+  - Adam(lr=1e-3) + ReduceLROnPlateau on test loss (train.py:188-191,168),
+    LR injected so plateau drops never retrace
+  - best-on-test-loss checkpointing with the reference's hyperparams.json
+    contract, plus resume (absent in the reference)
+"""
+from __future__ import annotations
+
+import collections
+import functools
+import os
+import time
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ModelConfig, TrainConfig
+from ..data.dataset import ChunkDataset, process_data
+from ..models import PerformanceNet
+from ..parallel import mesh as pmesh
+from . import checkpoint as ckpt
+from . import losses
+from .schedule import ReduceLROnPlateau
+
+
+def device_prefetch(batches: Iterator[dict], sharding, depth: int = 2) -> Iterator[dict]:
+    """Asynchronously stage host batches onto the mesh ``depth`` ahead."""
+    buf = collections.deque()
+    for b in batches:
+        buf.append(jax.device_put(b, sharding))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
+class Trainer:
+    """Experiment manager (reference main(), train.py:173-208)."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig = ModelConfig(),
+        train_cfg: TrainConfig = TrainConfig(),
+        mesh=None,
+        exp_root: str = "./experiments",
+    ):
+        self.model_cfg = model_cfg
+        self.cfg = train_cfg
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh(*train_cfg.mesh_shape, devices=jax.devices()[:1])
+        self.model = PerformanceNet(model_cfg)
+        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=train_cfg.learning_rate)
+        self.scheduler = ReduceLROnPlateau(lr=train_cfg.learning_rate)
+        self.exp_root = exp_root
+        self.exp_dir = os.path.join(exp_root, train_cfg.exp_name)
+        self._batch_sharding = pmesh.batch_sharding(self.mesh)
+        self._repl = pmesh.replicated(self.mesh)
+        self._build_steps()
+
+    # ---- jitted steps -------------------------------------------------
+    def _build_steps(self):
+        model, cfg = self.model, self.cfg
+
+        def loss_fn(params, batch, rng):
+            pred = model.apply(
+                params, batch["midi"], batch["cond"], batch["onoff"],
+                deterministic=False, rngs={"dropout": rng},
+            )
+            loss = losses.l1_loss(pred, batch["target"], batch["weight"])
+            if cfg.spectral_loss_weight > 0.0:
+                loss = loss + cfg.spectral_loss_weight * losses.multiscale_spectral_loss(
+                    pred, batch["target"], batch["weight"]
+                )
+            return loss
+
+        def train_step(params, opt_state, batch, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        def eval_step(params, batch):
+            pred = model.apply(
+                params, batch["midi"], batch["cond"], batch["onoff"], deterministic=True
+            )
+            return losses.mse_loss(pred, batch["target"], batch["weight"])
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.eval_step = jax.jit(eval_step)
+
+    # ---- state --------------------------------------------------------
+    def init_state(self, seed: int = 0):
+        """Initialize sharded params + opt_state on the mesh."""
+        hp_t = 860
+        dummy = (
+            jnp.zeros((1, hp_t, self.model_cfg.start_channels), jnp.float32),
+            jnp.zeros((1, hp_t, self.model_cfg.start_audio_channels), jnp.float32),
+            jnp.zeros((1, hp_t, self.model_cfg.start_channels), jnp.float32),
+        )
+        params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), *dummy)
+        params = pmesh.shard_params(params, self.mesh)
+        opt_state = jax.jit(self.tx.init)(params)
+        return params, opt_state
+
+    def set_lr(self, opt_state, lr: float):
+        """Inject a new learning rate without retracing."""
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return opt_state
+
+    # ---- epochs -------------------------------------------------------
+    def train_epoch(self, params, opt_state, dataset: ChunkDataset, epoch: int,
+                    rng: jax.Array, log_every: int = 2, exp=None):
+        """One epoch (reference train(), train.py:125-149)."""
+        losses_dev = []
+        n_batches = dataset.batches_per_epoch(self.cfg.batch_size)
+        batches = device_prefetch(
+            dataset.epoch_batches(self.cfg.batch_size, shuffle=True, drop_last=True),
+            self._batch_sharding,
+        )
+        t0 = time.time()
+        for i, batch in enumerate(batches):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = self.train_step(params, opt_state, batch, sub)
+            losses_dev.append(loss)  # device scalar; no per-step host sync
+            if i % log_every == 0:
+                print(
+                    f"Train Epoch: {epoch} [{i * self.cfg.batch_size}/"
+                    f"{dataset.n_data} ({100.0 * i / max(1, n_batches):.0f}%)]\t"
+                    f"Loss: {float(loss):.6f}"
+                )
+        epoch_losses = [float(x) for x in losses_dev]
+        if exp is not None:
+            exp.iter_train_loss.extend(epoch_losses)
+        avg = float(np.mean(epoch_losses)) if epoch_losses else 0.0
+        dt = time.time() - t0
+        print(f"====> Epoch: {epoch} Average loss: {avg:.4f} "
+              f"({len(epoch_losses) * self.cfg.batch_size / max(dt, 1e-9):.1f} chunks/s)")
+        return params, opt_state, avg, rng
+
+    def evaluate(self, params, dataset: ChunkDataset, exp=None) -> float:
+        """Weighted-exact MSE over the full eval set (reference test(), train.py:152-170)."""
+        total, weight_sum = 0.0, 0.0
+        batches = device_prefetch(
+            dataset.epoch_batches(self.cfg.batch_size, shuffle=False, drop_last=False),
+            self._batch_sharding,
+        )
+        for batch in batches:
+            loss = self.eval_step(params, batch)
+            w = float(np.sum(np.asarray(jax.device_get(batch["weight"]))))
+            total += float(loss) * w
+            weight_sum += w
+            if exp is not None:
+                exp.iter_test_loss.append(float(loss))
+        test_loss = total / max(weight_sum, 1.0)
+        print(f"====> Test set loss: {test_loss:.4f}")
+        return test_loss
+
+    # ---- full fit (reference main(), train.py:173-208) ----------------
+    def fit(self, data_dir: str, resume: bool = False):
+        os.makedirs(self.exp_root, exist_ok=True)
+        if not resume:
+            os.makedirs(self.exp_dir)  # same error-on-exists semantics (train.py:183)
+        train_ds, test_ds = process_data(
+            data_dir, self.cfg.n_train_read, self.cfg.n_test_read, self.cfg.seed
+        )
+        params, opt_state = self.init_state(self.cfg.seed)
+        exp = ckpt.ExperimentState(self.cfg.epochs, self.cfg.test_freq, self.cfg.exp_name)
+        start_epoch = 0
+        if resume:
+            latest = ckpt.latest_checkpoint(self.exp_dir)
+            if latest is not None:
+                path, epoch = latest
+                state = ckpt.restore_checkpoint(
+                    path, {"params": jax.device_get(params),
+                           "opt_state": jax.device_get(opt_state),
+                           "epoch": 0, "scheduler": self.scheduler.state_dict()})
+                params = pmesh.shard_params(state["params"], self.mesh)
+                opt_state = jax.device_put(state["opt_state"])
+                self.scheduler.load_state_dict(state["scheduler"])
+                exp = ckpt.ExperimentState.load(self.exp_dir)
+                start_epoch = state["epoch"]
+                print(f"resumed from {path} at epoch {start_epoch}")
+
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        print("start training")
+        for epoch in range(start_epoch, self.cfg.epochs):
+            params, opt_state, avg, rng = self.train_epoch(
+                params, opt_state, train_ds, epoch, rng, exp=exp
+            )
+            exp.loss_history.append(avg)
+            if epoch % self.cfg.test_freq == 0:
+                test_loss = self.evaluate(params, test_ds, exp=exp)
+                exp.test_loss_history.append(test_loss)
+                opt_state = self.set_lr(opt_state, self.scheduler.step(test_loss))
+                if test_loss < exp.best_loss:
+                    print("saving model")
+                    ckpt.save_checkpoint(
+                        self.exp_dir, epoch + 1,
+                        {"params": params, "opt_state": opt_state,
+                         "epoch": epoch + 1, "scheduler": self.scheduler.state_dict()},
+                    )
+                    exp.best_loss = test_loss
+                    exp.best_epoch = epoch + 1
+                    exp.save(self.exp_dir)
+        return params, exp

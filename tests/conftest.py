@@ -19,3 +19,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: repeated test runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/mmst_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,87 @@
+"""End-to-end inference test: MIDI + timbre audio -> styled waveform on disk.
+
+The assert-based rebuild of the reference's synthesis path
+(model/inference.py:74-110) using an untrained tiny model (output quality is
+not asserted — shape/finiteness/disk contract are).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from ml_music_style_transfer_tpu.config import ModelConfig, TrainConfig
+from ml_music_style_transfer_tpu.infer import AudioSynthesizer
+from ml_music_style_transfer_tpu.midi import writer as midi_writer
+from ml_music_style_transfer_tpu.midi.parser import Note
+from ml_music_style_transfer_tpu.data import audio_io
+from ml_music_style_transfer_tpu.testing import synthetic
+from ml_music_style_transfer_tpu.train import checkpoint as ckpt
+from ml_music_style_transfer_tpu.train.loop import Trainer
+
+TINY = ModelConfig(width_mult=1 / 16, compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def fake_experiment(tmp_path_factory):
+    """An experiment dir with an (untrained) checkpoint + hyperparams.json."""
+    exp_dir = str(tmp_path_factory.mktemp("exp"))
+    tr = Trainer(TINY, TrainConfig(exp_name="fake"))
+    params, opt_state = tr.init_state(0)
+    ckpt.save_checkpoint(exp_dir, 1, {"params": params})
+    exp = ckpt.ExperimentState(1, 1, "fake")
+    exp.best_epoch = 1
+    exp.best_loss = 0.5
+    exp.save(exp_dir)
+    return exp_dir
+
+
+@pytest.fixture(scope="module")
+def user_inputs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("user")
+    rng = np.random.default_rng(11)
+    notes = synthetic.random_song(rng, duration=8.0)
+    midi_path = str(d / "user.mid")
+    midi_writer.save(midi_path, notes)
+    wav = synthetic.render_notes(notes, "harpsichord", 44100, 8.0)
+    wav_path = str(d / "user.wav")
+    audio_io.write_wav(wav_path, wav, 44100)
+    return midi_path, wav_path
+
+
+class TestSynthesizer:
+    def test_end_to_end(self, fake_experiment, user_inputs):
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
+        outs = synth.inference(n_iter=4)  # few GL iters: contract test, not quality
+        assert len(outs) == 1
+        assert os.path.exists(outs[0])
+        y, sr = audio_io.read_wav(outs[0], sr=None)
+        assert sr == 44100
+        assert np.all(np.isfinite(y))
+        assert len(y) > 44100  # at least a second of audio for an 8s midi
+        # predicted spec covers the midi length: 8s * 172 wps ~ 1376 frames
+        r, o, c, t_total = synth.process_custom_midi_and_audio(midi_path, wav_path)
+        assert r.shape[0] == 2 and r.shape[1:] == (860, 128)  # 1376 -> 2 chunks
+        assert c.shape == (860, 1025)
+
+    def test_output_dir_autonumber(self, fake_experiment, user_inputs):
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
+        d1 = synth.create_output_dir()
+        d2 = synth.create_output_dir()
+        assert d1 != d2 and os.path.isdir(d1) and os.path.isdir(d2)
+
+    def test_short_audio_conditioning_repeats(self, fake_experiment, tmp_path):
+        """Conditioning audio shorter than one chunk must tile, not crash."""
+        rng = np.random.default_rng(12)
+        notes = synthetic.random_song(rng, duration=3.0)
+        midi_path = str(tmp_path / "m.mid")
+        midi_writer.save(midi_path, notes)
+        wav_path = str(tmp_path / "short.wav")
+        audio_io.write_wav(wav_path, synthetic.render_notes(notes, "cuba", 44100, 1.0), 44100)
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
+        r, o, c, t = synth.process_custom_midi_and_audio(midi_path, wav_path)
+        assert c.shape == (860, 1025)
+        assert np.all(np.isfinite(c))

@@ -1,0 +1,147 @@
+"""Training tests: overfit-one-batch, scheduler parity, checkpoint/resume,
+hyperparams.json contract, full fit() over a synthetic dataset."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ml_music_style_transfer_tpu.config import ModelConfig, TrainConfig
+from ml_music_style_transfer_tpu.data import preprocess as pp
+from ml_music_style_transfer_tpu.train import checkpoint as ckpt
+from ml_music_style_transfer_tpu.train.loop import Trainer
+from ml_music_style_transfer_tpu.train.schedule import ReduceLROnPlateau
+from ml_music_style_transfer_tpu.testing import synthetic
+
+TINY = ModelConfig(width_mult=1 / 16, compute_dtype="float32")
+
+
+def tiny_batch(B=2, T=220, rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    return {
+        "midi": jnp.asarray((rng.random((B, T, 128)) < 0.05).astype(np.float32)),
+        "onoff": jnp.asarray(rng.choice([-1, 0, 1], (B, T, 128), p=[0.02, 0.96, 0.02]).astype(np.float32)),
+        "cond": jnp.asarray(rng.random((B, T, 1025)).astype(np.float32)),
+        "target": jnp.asarray(rng.random((B, T, 1025)).astype(np.float32)),
+        "weight": jnp.ones((B,), jnp.float32),
+    }
+
+
+class TestScheduler:
+    def test_matches_torch_reduce_on_plateau(self):
+        import torch
+        lin = torch.nn.Linear(1, 1)
+        opt = torch.optim.Adam(lin.parameters(), lr=1e-3)
+        tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(opt, "min")
+        ours = ReduceLROnPlateau(lr=1e-3)
+        rng = np.random.default_rng(0)
+        metrics = list(1.0 - 0.01 * np.arange(5)) + [0.96] * 30 + [0.5] + [0.5] * 15
+        for m in metrics:
+            tsched.step(m)
+            ours.step(m)
+            assert abs(opt.param_groups[0]["lr"] - ours.lr) < 1e-12, m
+
+
+class TestTrainStep:
+    def test_overfit_one_batch(self):
+        """Loss must strictly trend down on a repeated batch (SURVEY §4 plan)."""
+        tr = Trainer(TINY, TrainConfig(batch_size=2, learning_rate=1e-3))
+        params, opt_state = tr.init_state(0)
+        batch = tiny_batch()
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(25):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = tr.train_step(params, opt_state, batch, sub)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.7, losses
+        assert losses[-1] < losses[len(losses) // 2]  # still descending
+
+    def test_eval_step_weight_mask_exact(self):
+        tr = Trainer(TINY, TrainConfig(batch_size=2))
+        params, _ = tr.init_state(0)
+        b2 = tiny_batch(B=2)
+        # padded batch: same 2 real items + 2 zero items with weight 0
+        b4 = {k: jnp.concatenate([v, jnp.zeros_like(v)], 0) for k, v in b2.items()}
+        b4["weight"] = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+        l2 = float(tr.eval_step(params, b2))
+        l4 = float(tr.eval_step(params, b4))
+        assert abs(l2 - l4) < 1e-5
+
+    def test_spectral_loss_option(self):
+        cfg = TrainConfig(batch_size=2, spectral_loss_weight=0.1)
+        tr = Trainer(TINY, cfg)
+        params, opt_state = tr.init_state(0)
+        batch = tiny_batch()
+        _, _, loss = tr.train_step(params, opt_state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        tr = Trainer(TINY, TrainConfig(batch_size=2))
+        params, opt_state = tr.init_state(0)
+        state = {"params": params, "opt_state": opt_state, "epoch": 3,
+                 "scheduler": tr.scheduler.state_dict()}
+        path = ckpt.save_checkpoint(str(tmp_path), 3, state)
+        template = jax.device_get(state)
+        restored = ckpt.restore_checkpoint(path, template)
+        assert restored["epoch"] == 3
+        p0 = jax.tree_util.tree_leaves(jax.device_get(params))[0]
+        r0 = jax.tree_util.tree_leaves(restored["params"])[0]
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(r0))
+
+    def test_latest_and_best_resolution(self, tmp_path):
+        d = str(tmp_path)
+        for e in (1, 5, 3):
+            ckpt.save_checkpoint(d, e, {"epoch": e})
+        assert ckpt.latest_checkpoint(d)[1] == 5
+        exp = ckpt.ExperimentState(10, 1, "x")
+        exp.best_epoch = 3
+        exp.save(d)
+        path, epoch = ckpt.best_checkpoint(d)
+        assert epoch == 3 and path.endswith("checkpoint-3.msgpack")
+
+
+@pytest.fixture(scope="module")
+def tiny_h5(tmp_path_factory):
+    """Synthetic preprocessed dataset: 1 song, 2 styles, few chunks."""
+    root = tmp_path_factory.mktemp("traindata")
+    synthetic.make_dataset_dir(str(root / "raw"), song_ids=[7], styles=["cuba", "upright"],
+                               duration=16.0, seed=5)
+    pp.get_data(str(root / "raw"), str(root / "ds"), "train",
+                song_ids=[7], styles=["cuba", "upright"])
+    pp.get_data(str(root / "raw"), str(root / "ds"), "test",
+                song_ids=[7], styles=["cuba", "upright"])
+    return str(root / "ds")
+
+
+class TestFit:
+    def test_full_fit_and_contract(self, tiny_h5, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        cfg = TrainConfig(epochs=2, test_freq=1, exp_name="t1", batch_size=2)
+        tr = Trainer(TINY, cfg)
+        params, exp = tr.fit(tiny_h5)
+        exp_dir = os.path.join("experiments", "t1")
+        with open(os.path.join(exp_dir, "hyperparams.json")) as f:
+            hp = json.load(f)
+        # the reference's exact field names (train.py:32-42)
+        for field in ("train_epoch", "test_freq", "exp_name", "iter_train_loss",
+                      "iter_test_loss", "loss_history", "test_loss_history",
+                      "best_loss", "best_epoch"):
+            assert field in hp, field
+        assert hp["best_epoch"] >= 1
+        assert os.path.exists(os.path.join(exp_dir, f"checkpoint-{hp['best_epoch']}.msgpack"))
+        assert len(hp["loss_history"]) == 2
+
+    def test_resume(self, tiny_h5, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        cfg = TrainConfig(epochs=1, test_freq=1, exp_name="t2", batch_size=2)
+        Trainer(TINY, cfg).fit(tiny_h5)
+        cfg2 = TrainConfig(epochs=2, test_freq=1, exp_name="t2", batch_size=2)
+        tr2 = Trainer(TINY, cfg2)
+        params, exp = tr2.fit(tiny_h5, resume=True)
+        assert len(exp.loss_history) >= 2  # epoch 0 (loaded) + epoch 1
