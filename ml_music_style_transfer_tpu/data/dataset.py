@@ -41,6 +41,25 @@ class ChunkDataset:
         }
         self.n_data = self.pianoroll.shape[0]
         self.rng = np.random.default_rng(seed)
+        self._native = {}
+
+    def native_assembler(self, batch_size: int):
+        """Cached native (C++) batch assembler for this dataset, or None.
+
+        Uses native/fastloader's slot-ring memcpy fan-out; falls back to the
+        Python path when the shared library is unavailable.
+        """
+        if batch_size not in self._native:
+            try:
+                from . import fastloader
+
+                self._native[batch_size] = (
+                    fastloader.NativeBatchAssembler(self, batch_size)
+                    if fastloader.available() else None
+                )
+            except Exception:
+                self._native[batch_size] = None
+        return self._native[batch_size]
 
     def assemble(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         """Build one batch for chunk indices ``idx`` (train.py:76-101 semantics):

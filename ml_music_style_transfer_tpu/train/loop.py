@@ -33,6 +33,7 @@ from ..config import ModelConfig, TrainConfig
 from ..data.dataset import ChunkDataset, process_data
 from ..models import PerformanceNet
 from ..parallel import mesh as pmesh
+from ..utils.logging import MetricsLogger
 from . import checkpoint as ckpt
 from . import losses
 from .schedule import ReduceLROnPlateau
@@ -58,9 +59,11 @@ class Trainer:
         train_cfg: TrainConfig = TrainConfig(),
         mesh=None,
         exp_root: str = "./experiments",
+        use_native_loader: bool = True,
     ):
         self.model_cfg = model_cfg
         self.cfg = train_cfg
+        self.use_native_loader = use_native_loader
         self.mesh = mesh if mesh is not None else pmesh.make_mesh(*train_cfg.mesh_shape, devices=jax.devices()[:1])
         self.model = PerformanceNet(model_cfg)
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=train_cfg.learning_rate)
@@ -122,15 +125,29 @@ class Trainer:
         return opt_state
 
     # ---- epochs -------------------------------------------------------
+    def _train_batches(self, dataset: ChunkDataset):
+        """Device-staged train batches: native slot-ring assembler when the
+        C++ fastloader is built, Python assembly otherwise. In the native
+        path the input transfer is awaited (overlapping the previous step's
+        compute) before the slot recycles."""
+        asm = dataset.native_assembler(self.cfg.batch_size) if self.use_native_loader else None
+        if asm is None:
+            yield from device_prefetch(
+                dataset.epoch_batches(self.cfg.batch_size, shuffle=True, drop_last=True),
+                self._batch_sharding,
+            )
+            return
+        for batch in asm.epoch_batches(shuffle=True):
+            dev = jax.device_put(batch, self._batch_sharding)
+            jax.block_until_ready(dev)  # safe slot reuse; overlaps prior step
+            yield dev
+
     def train_epoch(self, params, opt_state, dataset: ChunkDataset, epoch: int,
                     rng: jax.Array, log_every: int = 2, exp=None):
         """One epoch (reference train(), train.py:125-149)."""
         losses_dev = []
         n_batches = dataset.batches_per_epoch(self.cfg.batch_size)
-        batches = device_prefetch(
-            dataset.epoch_batches(self.cfg.batch_size, shuffle=True, drop_last=True),
-            self._batch_sharding,
-        )
+        batches = self._train_batches(dataset)
         t0 = time.time()
         for i, batch in enumerate(batches):
             rng, sub = jax.random.split(rng)
@@ -196,16 +213,24 @@ class Trainer:
                 print(f"resumed from {path} at epoch {start_epoch}")
 
         rng = jax.random.PRNGKey(self.cfg.seed)
+        metrics = MetricsLogger(os.path.join(self.exp_dir, "metrics.jsonl"))
         print("start training")
         for epoch in range(start_epoch, self.cfg.epochs):
+            t_epoch = time.time()
             params, opt_state, avg, rng = self.train_epoch(
                 params, opt_state, train_ds, epoch, rng, exp=exp
             )
             exp.loss_history.append(avg)
+            dt = time.time() - t_epoch
+            metrics.log("train_epoch", epoch=epoch, loss=avg, lr=self.scheduler.lr,
+                        epoch_sec=dt,
+                        frames_per_sec=train_ds.batches_per_epoch(self.cfg.batch_size)
+                        * self.cfg.batch_size * 860 / max(dt, 1e-9))
             if epoch % self.cfg.test_freq == 0:
                 test_loss = self.evaluate(params, test_ds, exp=exp)
                 exp.test_loss_history.append(test_loss)
                 opt_state = self.set_lr(opt_state, self.scheduler.step(test_loss))
+                metrics.log("eval", epoch=epoch, test_loss=test_loss, lr=self.scheduler.lr)
                 if test_loss < exp.best_loss:
                     print("saving model")
                     ckpt.save_checkpoint(
@@ -216,4 +241,6 @@ class Trainer:
                     exp.best_loss = test_loss
                     exp.best_epoch = epoch + 1
                     exp.save(self.exp_dir)
+                    metrics.log("checkpoint", epoch=epoch + 1, best_loss=test_loss)
+        metrics.close()
         return params, exp
