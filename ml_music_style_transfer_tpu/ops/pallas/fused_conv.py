@@ -1,0 +1,147 @@
+"""Pallas TPU kernel: fused Conv1x3 + InstanceNorm + LeakyReLU.
+
+The reference's DownConv/UpConv blocks apply conv -> InstanceNorm -> LeakyReLU
+at every level (model/model.py:47-49,81-89). Under XLA these are separate
+HLOs: the conv result round-trips HBM before the normalization reads it back.
+This kernel computes the whole block in one pass:
+
+  - grid (B/BB, Cout/128, Cin/128); the innermost Cin axis accumulates the
+    k=3 conv as three time-shifted (BB*T, 128) x (128, 128) MXU matmuls into
+    a float32 VMEM accumulator
+  - on the last Cin block: add bias, compute per-(item, channel) mean/var
+    over time (InstanceNorm semantics: normalize over T always, train and
+    eval), normalize, LeakyReLU, and write the output tile — the conv
+    activations never touch HBM unnormalized
+
+Inputs are channel-last (B, T, C) with C padded to multiples of 128 by the
+wrapper (zero channels contribute nothing to the conv; output channels are
+sliced back). Time halo (1 frame each side, zero padding = torch padding=1)
+is pre-padded by the wrapper so every shifted slice is static.
+
+MEASURED VERDICT (TPU v5e, 2026-08-16, batch 16): XLA's jitted conv + fused
+normalization is FASTER than this kernel on the model's layer shapes
+(audio L0 1025->1536 @T860: XLA 2.2 ms vs pallas 8.6 ms; midi L0 128->256:
+XLA 0.03 ms vs pallas 3.1 ms) — XLA's conv emitter pipelines weight reuse
+across the batch better than this kernel's per-batch-block weight refetch.
+The kernel is kept as tested infrastructure (and the honest benchmark,
+scripts/bench_pallas.py), but the model deliberately uses the XLA path.
+An earlier apparent 3.2x pallas win was an unjitted-XLA measurement artifact.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, eps: float, slope: float):
+    ci = pl.program_id(2)
+    n_ci = pl.num_programs(2)
+
+    @pl.when(ci == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]  # (BB, T+2, LANE) compute dtype
+    w = w_ref[:]  # (3, LANE, LANE)
+    t_len = acc_ref.shape[1]
+    dn = (((2,), (0,)), ((), ()))  # contract x's channel dim with w rows
+    acc = acc_ref[:]
+    for d in range(3):
+        acc = acc + jax.lax.dot_general(
+            x[:, d : d + t_len, :], w[d], dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:] = acc
+
+    @pl.when(ci == n_ci - 1)
+    def _epilogue():
+        y = acc_ref[:] + b_ref[0][None, None, :]  # (BB, T, LANE)
+        mean = jnp.mean(y, axis=1, keepdims=True)
+        var = jnp.mean((y - mean) ** 2, axis=1, keepdims=True)
+        yn = (y - mean) * jax.lax.rsqrt(var + eps)
+        o_ref[:] = jnp.where(yn >= 0, yn, slope * yn).astype(o_ref.dtype)
+
+
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "slope", "block_b", "interpret")
+)
+def conv1x3_instnorm_lrelu(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    eps: float = 1e-5,
+    slope: float = 0.01,
+    block_b: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """LeakyReLU(InstanceNorm(conv1x3(x))) in one fused TPU kernel.
+
+    Args:
+      x: (B, T, Cin) activations (any float dtype; computed in x.dtype on the
+        MXU with float32 accumulation).
+      w: (3, Cin, Cout) conv kernel (torch Conv1d k=3 s=1 p=1 semantics).
+      b: (Cout,) bias.
+
+    Returns (B, T, Cout) in x.dtype.
+    """
+    B, T, Cin = x.shape
+    _, wc_in, Cout = w.shape
+    assert wc_in == Cin, (Cin, w.shape)
+    cin_p = _pad_to(Cin, LANE)
+    cout_p = _pad_to(Cout, LANE)
+    if block_b is None:
+        # VMEM budget per batch-row: f32 accumulator + double-buffered x
+        # (bf16) + double-buffered out; keep the total under ~8 MB of the
+        # 16 MB scoped limit
+        itemsize = jnp.dtype(x.dtype).itemsize
+        per_b = T * LANE * (4 + 2 * 2 * itemsize + 2 * itemsize)
+        block_b = max(1, min(int(6e6 // per_b), 64))
+    bb = min(block_b, B)
+    b_p = _pad_to(B, bb)
+
+    xp = jnp.pad(x, ((0, b_p - B), (1, 1), (0, cin_p - Cin)))
+    wp = jnp.pad(w, ((0, 0), (0, cin_p - Cin), (0, cout_p - Cout))).astype(x.dtype)
+    bp = jnp.pad(b, (0, cout_p - Cout)).astype(jnp.float32).reshape(1, cout_p)
+
+    grid = (b_p // bb, cout_p // LANE, cin_p // LANE)
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps, slope=slope),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb, T + 2, LANE), lambda i, j, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, LANE, LANE), lambda i, j, k: (0, k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE), lambda i, j, k: (0, j),
+                         memory_space=pltpu.SMEM if False else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, T, LANE), lambda i, j, k: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_p, T, cout_p), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bb, T, LANE), jnp.float32)],
+        interpret=interpret,
+    )(xp, wp, bp)
+    return out[:B, :, :Cout]
+
+
+def conv1x3_instnorm_lrelu_reference(x, w, b, eps=1e-5, slope=0.01):
+    """Unfused XLA reference (same math) for parity tests and benchmarking."""
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(1, 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    ) + b.astype(jnp.float32)
+    mean = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.var(y, axis=1, keepdims=True)
+    yn = (y - mean) * jax.lax.rsqrt(var + eps)
+    return jnp.where(yn >= 0, yn, slope * yn).astype(x.dtype)
