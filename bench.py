@@ -29,7 +29,7 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width-mult", type=float, default=1.0)
-    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--batch-size", type=int, default=64)  # measured sweet spot on v5e
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--skip-extras", action="store_true")
     args = ap.parse_args()
