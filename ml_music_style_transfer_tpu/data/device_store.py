@@ -1,0 +1,89 @@
+"""Device-resident dataset: the zero-host-transfer training path.
+
+Measured on this setup, host->device bandwidth is ~0.05 GB/s (tunneled TPU),
+so streaming spectrogram batches (~500 MB per batch-64 step) costs ~10 s
+against a 0.31 s train step — host streaming is 30x transfer-bound. The
+TPU-native answer: park the ENTIRE dataset in HBM once and assemble batches
+on-device inside the jitted step:
+
+  - raw audio chunks (219,904 samples) upload as bfloat16 — 8x smaller than
+    float32 spectrograms (1025x860) — and log-power STFTs are recomputed
+    on-device per step (ops/stft.py, ~1.3M frames/s, fused into the step)
+  - piano-rolls/onoff upload as int8 (values in {-1, 0, 1})
+  - per-step host traffic is just the index vectors (a few hundred bytes):
+    the style/conditioning sampling (reference train.py:88-91 semantics)
+    stays on the host RNG
+
+Requires preprocessing with --store-audio (audio_{style} HDF5 keys).
+MusicNet-piano scale (~1.7k chunks x 5 styles) is ~3.7 GB in HBM alongside
+the 732M-param model + Adam state.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DSPConfig, DEFAULT_DSP
+from .hdf5_store import load_dataset
+
+
+class DeviceDataStore:
+    """All chunks resident in HBM; batch gather + STFT happen on-device."""
+
+    def __init__(self, path: str, n_read: int | None = None,
+                 hp: DSPConfig = DEFAULT_DSP, seed: int = 42,
+                 audio_dtype=jnp.bfloat16):
+        raw = load_dataset(path, n_read=n_read)
+        self.styles = sorted(k[len("audio_"):] for k in raw if k.startswith("audio_"))
+        if not self.styles:
+            raise ValueError(
+                f"{path} has no audio_* keys — re-run preprocessing with --store-audio"
+            )
+        self.hp = hp
+        self.rng = np.random.default_rng(seed)
+        # (S, N, samples) bf16 and (N, T, 128) int8, uploaded once
+        audio = np.stack([raw[f"audio_{s}"] for s in self.styles])
+        self.audio = jax.device_put(jnp.asarray(audio, dtype=audio_dtype))
+        self.pianoroll = jax.device_put(jnp.asarray(raw["pianoroll"], dtype=jnp.int8))
+        self.onoff = jax.device_put(jnp.asarray(raw["onoff"], dtype=jnp.int8))
+        self.n_data = int(self.pianoroll.shape[0])
+
+    def hbm_bytes(self) -> int:
+        return sum(x.nbytes for x in (self.audio, self.pianoroll, self.onoff))
+
+    def draw_epoch_indices(self, batch_size: int, shuffle: bool = True):
+        """Host-side index plan for one epoch (tiny transfers only)."""
+        order = self.rng.permutation(self.n_data) if shuffle else np.arange(self.n_data)
+        n_full = self.n_data // batch_size
+        for k in range(n_full):
+            idx = order[k * batch_size : (k + 1) * batch_size]
+            cond_idx = self.rng.integers(0, self.n_data, batch_size)
+            style = self.rng.integers(0, len(self.styles), batch_size)
+            yield (jnp.asarray(idx, jnp.int32), jnp.asarray(cond_idx, jnp.int32),
+                   jnp.asarray(style, jnp.int32))
+
+
+def gather_batch(store_audio, store_roll, store_onoff, idx, cond_idx, style,
+                 hp: DSPConfig = DEFAULT_DSP) -> Dict[str, jnp.ndarray]:
+    """On-device batch assembly (jit-inlined into the train step).
+
+    Gathers rolls + style-paired audio chunks and computes log-power STFTs
+    (target = style's audio at idx, cond = same style at cond_idx), emitting
+    the channel-last batch dict the model consumes.
+    """
+    midi = store_roll[idx].astype(jnp.float32)
+    onoff = store_onoff[idx].astype(jnp.float32)
+    target_audio = store_audio[style, idx].astype(jnp.float32)
+    cond_audio = store_audio[style, cond_idx].astype(jnp.float32)
+    from ..ops import stft as jstft  # local import to avoid cycles
+
+    target = jnp.swapaxes(
+        jstft.log_power(jstft.stft(target_audio, hp.n_fft, hp.ws)), -1, -2)
+    cond = jnp.swapaxes(
+        jstft.log_power(jstft.stft(cond_audio, hp.n_fft, hp.ws)), -1, -2)
+    weight = jnp.ones(idx.shape, jnp.float32)
+    return {"midi": midi, "onoff": onoff, "cond": cond, "target": target,
+            "weight": weight}

@@ -54,7 +54,7 @@ def load_dataset(
     out: dict[str, np.ndarray] = {}
     with h5py.File(path, "r") as f:
         for key in f.keys():
-            if key in ("pianoroll", "onoff") or key.startswith("spec_"):
+            if key in ("pianoroll", "onoff") or key.startswith(("spec_", "audio_")):
                 ds = f[key]
                 out[key] = np.asarray(ds[:n_read] if n_read else ds[:], dtype=dtype)
     return out

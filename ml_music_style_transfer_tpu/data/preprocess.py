@@ -104,6 +104,7 @@ def get_data(
     styles=None,
     max_chunks: int = 100,
     dtype: str = "float32",
+    store_audio: bool = False,
 ) -> str:
     """Build {dataset_outpath}_{data_type}.hdf5 (reference preprocess.py:163-200)."""
     song_ids = PIANO_SCORES[data_type] if song_ids is None else song_ids
@@ -135,6 +136,10 @@ def get_data(
                         _write_debug_samples(DEBUG_DIR, song_id, step, hp, style=style, audio_chunk=audio_chunks[step])
                 spec_chunks = spectrograms_from_chunks(audio_chunks, hp)
                 store.write_spectrum(spec_chunks, style)
+                if store_audio:
+                    # raw audio chunks enable device-resident training
+                    # (spectrograms recomputed on-device; see data/device_store.py)
+                    store._append(f"audio_{style}", audio_chunks)
                 if debug:
                     assert roll_chunks.shape[0] == spec_chunks.shape[0]
                     assert roll_chunks.shape == onoff_chunks.shape
@@ -156,6 +161,7 @@ def main(args) -> None:
         debug=args.debug,
         max_chunks=args.max_chunks_per_song,
         song_ids=args.song_ids,
+        store_audio=args.store_audio,
     )
 
 
@@ -172,6 +178,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         help="write per-chunk wav/mid alignment dumps to debugdir")
     parser.add_argument("--song-ids", dest="song_ids", type=int, nargs="*", default=None,
                         help="override the built-in MusicNet id list (useful for partial datasets)")
+    parser.add_argument("--store-audio", type=str2bool, default=False,
+                        help="also store raw audio chunks (audio_{style} keys) for "
+                             "device-resident training")
     return parser
 
 

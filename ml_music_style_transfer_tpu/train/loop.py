@@ -105,6 +105,25 @@ class Trainer:
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self.eval_step = jax.jit(eval_step)
 
+        # device-resident variant: batch gather + on-device STFT fused into
+        # the step; inputs are index vectors only (see data/device_store.py)
+        def train_step_resident(params, opt_state, audio, roll, onoff, idx,
+                                cond_idx, style, rng):
+            from ..data.device_store import gather_batch
+
+            batch = gather_batch(audio, roll, onoff, idx, cond_idx, style)
+            return train_step(params, opt_state, batch, rng)
+
+        self.train_step_resident = jax.jit(train_step_resident, donate_argnums=(0, 1))
+
+        def eval_step_resident(params, audio, roll, onoff, idx, cond_idx, style):
+            from ..data.device_store import gather_batch
+
+            batch = gather_batch(audio, roll, onoff, idx, cond_idx, style)
+            return eval_step(params, batch)
+
+        self.eval_step_resident = jax.jit(eval_step_resident)
+
     # ---- state --------------------------------------------------------
     def init_state(self, seed: int = 0):
         """Initialize sharded params + opt_state on the mesh."""
@@ -186,13 +205,46 @@ class Trainer:
         print(f"====> Test set loss: {test_loss:.4f}")
         return test_loss
 
+    def train_epoch_resident(self, store, params, opt_state, epoch: int,
+                             rng: jax.Array, exp=None):
+        """One epoch against a DeviceDataStore: zero per-step host transfer."""
+        losses_dev = []
+        t0 = time.time()
+        for idx, cond_idx, style in store.draw_epoch_indices(self.cfg.batch_size):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = self.train_step_resident(
+                params, opt_state, store.audio, store.pianoroll, store.onoff,
+                idx, cond_idx, style, sub,
+            )
+            losses_dev.append(loss)
+        epoch_losses = [float(x) for x in losses_dev]
+        if exp is not None:
+            exp.iter_train_loss.extend(epoch_losses)
+        avg = float(np.mean(epoch_losses)) if epoch_losses else 0.0
+        dt = time.time() - t0
+        print(f"====> Epoch: {epoch} Average loss: {avg:.4f} "
+              f"({len(epoch_losses) * self.cfg.batch_size / max(dt, 1e-9):.1f} chunks/s, device-resident)")
+        return params, opt_state, avg, rng
+
     # ---- full fit (reference main(), train.py:173-208) ----------------
-    def fit(self, data_dir: str, resume: bool = False):
+    def fit(self, data_dir: str, resume: bool = False, device_resident: bool = False):
+        """Train. ``device_resident=True`` parks the train split in HBM and
+        assembles batches on-device (requires preprocessing --store-audio);
+        the (small) test split always evaluates via the host path."""
         os.makedirs(self.exp_root, exist_ok=True)
         if not resume:
             os.makedirs(self.exp_dir)  # same error-on-exists semantics (train.py:183)
+        store = None
+        if device_resident:
+            from ..data.device_store import DeviceDataStore
+
+            store = DeviceDataStore(data_dir + "_train.hdf5",
+                                    n_read=self.cfg.n_train_read, seed=self.cfg.seed)
+            print(f"device-resident dataset: {store.n_data} chunks x "
+                  f"{len(store.styles)} styles, {store.hbm_bytes()/1e9:.2f} GB HBM")
         train_ds, test_ds = process_data(
-            data_dir, self.cfg.n_train_read, self.cfg.n_test_read, self.cfg.seed
+            data_dir, 1 if device_resident else self.cfg.n_train_read,
+            self.cfg.n_test_read, self.cfg.seed
         )
         params, opt_state = self.init_state(self.cfg.seed)
         exp = ckpt.ExperimentState(self.cfg.epochs, self.cfg.test_freq, self.cfg.exp_name)
@@ -217,14 +269,21 @@ class Trainer:
         print("start training")
         for epoch in range(start_epoch, self.cfg.epochs):
             t_epoch = time.time()
-            params, opt_state, avg, rng = self.train_epoch(
-                params, opt_state, train_ds, epoch, rng, exp=exp
-            )
+            if store is not None:
+                params, opt_state, avg, rng = self.train_epoch_resident(
+                    store, params, opt_state, epoch, rng, exp=exp
+                )
+                n_batches = store.n_data // self.cfg.batch_size
+            else:
+                params, opt_state, avg, rng = self.train_epoch(
+                    params, opt_state, train_ds, epoch, rng, exp=exp
+                )
+                n_batches = train_ds.batches_per_epoch(self.cfg.batch_size)
             exp.loss_history.append(avg)
             dt = time.time() - t_epoch
             metrics.log("train_epoch", epoch=epoch, loss=avg, lr=self.scheduler.lr,
-                        epoch_sec=dt,
-                        frames_per_sec=train_ds.batches_per_epoch(self.cfg.batch_size)
+                        epoch_sec=dt, device_resident=store is not None,
+                        frames_per_sec=n_batches
                         * self.cfg.batch_size * 860 / max(dt, 1e-9))
             if epoch % self.cfg.test_freq == 0:
                 test_loss = self.evaluate(params, test_ds, exp=exp)
