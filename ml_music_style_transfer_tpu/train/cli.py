@@ -36,6 +36,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="weight of the DDSP-style multi-scale spectral loss")
     p.add_argument("--compat-mbr-noop", action="store_true",
                    help="reproduce the reference MBRBlock no-op/doubling behavior")
+    p.add_argument("--stream-bf16", action="store_true",
+                   help="stream host batches as bfloat16 (halves upload bytes on "
+                        "low-bandwidth links; use when the dataset exceeds HBM)")
     p.add_argument("--device-resident", action="store_true",
                    help="park the train split in HBM and assemble batches on-device "
                         "(requires preprocessing --store-audio); removes the "
@@ -55,9 +58,12 @@ def main(argv=None) -> None:
     )
     mesh = pmesh.make_mesh(args.mesh_data, args.mesh_model) \
         if args.mesh_data * args.mesh_model > 1 else None
-    Trainer(model_cfg, train_cfg, mesh=mesh).fit(
-        args.data_dir, resume=args.resume, device_resident=args.device_resident
-    )
+    import jax.numpy as jnp
+
+    Trainer(
+        model_cfg, train_cfg, mesh=mesh,
+        stream_dtype=jnp.bfloat16 if args.stream_bf16 else None,
+    ).fit(args.data_dir, resume=args.resume, device_resident=args.device_resident)
 
 
 if __name__ == "__main__":

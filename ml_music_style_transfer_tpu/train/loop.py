@@ -39,11 +39,24 @@ from . import losses
 from .schedule import ReduceLROnPlateau
 
 
-def device_prefetch(batches: Iterator[dict], sharding, depth: int = 2) -> Iterator[dict]:
-    """Asynchronously stage host batches onto the mesh ``depth`` ahead."""
+def device_prefetch(batches: Iterator[dict], sharding, depth: int = 2,
+                    stream_dtype=None) -> Iterator[dict]:
+    """Asynchronously stage host batches onto the mesh ``depth`` ahead.
+
+    ``stream_dtype='bfloat16'`` halves host->device bytes for the big
+    spectrogram tensors (midi/onoff/cond/target) — the right default on
+    low-bandwidth links when the dataset exceeds HBM (the device-resident
+    path is better when it fits; see data/device_store.py).
+    """
+    def stage(b):
+        if stream_dtype is not None:
+            b = {k: (v.astype(stream_dtype) if k != "weight" else v)
+                 for k, v in b.items()}
+        return jax.device_put(b, sharding)
+
     buf = collections.deque()
     for b in batches:
-        buf.append(jax.device_put(b, sharding))
+        buf.append(stage(b))
         if len(buf) >= depth:
             yield buf.popleft()
     while buf:
@@ -60,10 +73,14 @@ class Trainer:
         mesh=None,
         exp_root: str = "./experiments",
         use_native_loader: bool = True,
+        stream_dtype=None,
     ):
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.use_native_loader = use_native_loader
+        # optional transfer compression for host-streamed batches (e.g.
+        # jnp.bfloat16 halves upload bytes; loss math stays float32)
+        self.stream_dtype = stream_dtype
         self.mesh = mesh if mesh is not None else pmesh.make_mesh(*train_cfg.mesh_shape, devices=jax.devices()[:1])
         self.model = PerformanceNet(model_cfg)
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=train_cfg.learning_rate)
@@ -150,13 +167,17 @@ class Trainer:
         path the input transfer is awaited (overlapping the previous step's
         compute) before the slot recycles."""
         asm = dataset.native_assembler(self.cfg.batch_size) if self.use_native_loader else None
+        sd = self.stream_dtype
         if asm is None:
             yield from device_prefetch(
                 dataset.epoch_batches(self.cfg.batch_size, shuffle=True, drop_last=True),
-                self._batch_sharding,
+                self._batch_sharding, stream_dtype=sd,
             )
             return
         for batch in asm.epoch_batches(shuffle=True):
+            if sd is not None:
+                batch = {k: (v.astype(sd) if k != "weight" else v)
+                         for k, v in batch.items()}
             dev = jax.device_put(batch, self._batch_sharding)
             jax.block_until_ready(dev)  # safe slot reuse; overlaps prior step
             yield dev

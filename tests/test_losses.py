@@ -1,0 +1,48 @@
+"""Loss function unit tests: torch parity, weight-mask exactness, spectral loss."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from ml_music_style_transfer_tpu.train import losses
+
+
+def _pt(B=3, T=20, C=64, seed=0):
+    rng = np.random.default_rng(seed)
+    pred = rng.standard_normal((B, T, C)).astype(np.float32)
+    target = rng.standard_normal((B, T, C)).astype(np.float32)
+    w = np.ones(B, np.float32)
+    return pred, target, w
+
+
+class TestLosses:
+    def test_l1_matches_torch(self):
+        import torch
+        pred, target, w = _pt()
+        got = float(losses.l1_loss(jnp.asarray(pred), jnp.asarray(target), jnp.asarray(w)))
+        want = float(torch.nn.L1Loss()(torch.from_numpy(pred), torch.from_numpy(target)))
+        assert abs(got - want) < 1e-6
+
+    def test_mse_matches_torch(self):
+        import torch
+        pred, target, w = _pt(seed=1)
+        got = float(losses.mse_loss(jnp.asarray(pred), jnp.asarray(target), jnp.asarray(w)))
+        want = float(torch.nn.MSELoss()(torch.from_numpy(pred), torch.from_numpy(target)))
+        assert abs(got - want) < 1e-6
+
+    def test_weight_mask_drops_padded_items(self):
+        pred, target, _ = _pt(B=4, seed=2)
+        w_full = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+        got = float(losses.l1_loss(jnp.asarray(pred), jnp.asarray(target), w_full))
+        want = float(losses.l1_loss(jnp.asarray(pred[:2]), jnp.asarray(target[:2]),
+                                    jnp.ones(2)))
+        assert abs(got - want) < 1e-6
+
+    def test_multiscale_spectral_loss_properties(self):
+        rng = np.random.default_rng(3)
+        spec = np.abs(rng.standard_normal((2, 40, 1025))).astype(np.float32)
+        w = jnp.ones(2)
+        zero = float(losses.multiscale_spectral_loss(jnp.asarray(spec), jnp.asarray(spec), w))
+        assert zero < 1e-6
+        other = np.abs(rng.standard_normal((2, 40, 1025))).astype(np.float32)
+        nonzero = float(losses.multiscale_spectral_loss(jnp.asarray(spec), jnp.asarray(other), w))
+        assert nonzero > zero
