@@ -27,7 +27,7 @@ class ChunkDataset:
     """All chunks of one split in RAM; samples batches with style pairing."""
 
     def __init__(self, path: str, n_read: int | None = None, seed: int = 42):
-        raw = load_dataset(path, n_read=n_read)
+        raw = load_dataset(path, n_read=n_read, include_audio=False)
         self.styles: List[str] = sorted(k for k in raw if k.startswith("spec_"))
         if not self.styles:
             raise ValueError(f"no spec_* keys in {path}")

@@ -42,19 +42,29 @@ class H5Store:
         """Append spectrogram chunks for one style (io_manager.py:64-76)."""
         self._append(f"spec_{style}", spec_list)
 
+    def write_audio(self, audio_chunks: np.ndarray, style: str) -> None:
+        """Append raw audio chunks for one style (device-resident training)."""
+        self._append(f"audio_{style}", audio_chunks)
+
 
 def load_dataset(
-    path: str, n_read: int | None = None, dtype: str = "float32"
+    path: str,
+    n_read: int | None = None,
+    dtype: str = "float32",
+    include_audio: bool = True,
 ) -> dict[str, np.ndarray]:
     """Read a preprocessed HDF5 file fully into RAM (train.py:58-71 strategy).
 
-    Returns {'pianoroll': (N,860,128), 'onoff': ..., 'spec_<style>': ...};
-    styles are discovered from keys matching ``spec_*`` (train.py:51).
+    Returns {'pianoroll': (N,860,128), 'onoff': ..., 'spec_<style>': ...,
+    optionally 'audio_<style>': ...}; styles are discovered from keys matching
+    ``spec_*`` (train.py:51). ``include_audio=False`` skips the raw-audio keys
+    (only the device-resident path needs them).
     """
+    prefixes = ("spec_", "audio_") if include_audio else ("spec_",)
     out: dict[str, np.ndarray] = {}
     with h5py.File(path, "r") as f:
         for key in f.keys():
-            if key in ("pianoroll", "onoff") or key.startswith(("spec_", "audio_")):
+            if key in ("pianoroll", "onoff") or key.startswith(prefixes):
                 ds = f[key]
                 out[key] = np.asarray(ds[:n_read] if n_read else ds[:], dtype=dtype)
     return out

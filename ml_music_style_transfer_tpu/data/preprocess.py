@@ -139,7 +139,7 @@ def get_data(
                 if store_audio:
                     # raw audio chunks enable device-resident training
                     # (spectrograms recomputed on-device; see data/device_store.py)
-                    store._append(f"audio_{style}", audio_chunks)
+                    store.write_audio(audio_chunks, style)
                 if debug:
                     assert roll_chunks.shape[0] == spec_chunks.shape[0]
                     assert roll_chunks.shape == onoff_chunks.shape
