@@ -102,9 +102,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
 
     def scaled(self, c: int) -> int:
-        """Apply width_mult, keeping channels even (MBR bands need divisibility)."""
-        v = max(2, int(round(c * self.width_mult)))
-        return v + (v % 2)
+        """Apply width_mult, rounding up to a multiple of 16 (min 16): the
+        MBR blocks split midi_plan[2] into up to 16 bands, and 16-multiples
+        keep every width on friendly MXU tile shapes."""
+        v = max(16, int(round(c * self.width_mult)))
+        return -(-v // 16) * 16
 
     @property
     def midi_channel_plan(self) -> Tuple[int, ...]:

@@ -36,7 +36,7 @@ class DeviceDataStore:
     def __init__(self, path: str, n_read: int | None = None,
                  hp: DSPConfig = DEFAULT_DSP, seed: int = 42,
                  audio_dtype=jnp.bfloat16):
-        raw = load_dataset(path, n_read=n_read)
+        raw = load_dataset(path, n_read=n_read, include_specs=False)
         self.styles = sorted(k[len("audio_"):] for k in raw if k.startswith("audio_"))
         if not self.styles:
             raise ValueError(

@@ -149,13 +149,28 @@ class NativeBatchAssembler:
             specs.append((idx, ds.rng.integers(0, ds.n_data, B),
                           ds.rng.integers(0, len(ds.styles), B)))
         submitted = 0
+        consumed = 0
         for k in range(min(pipeline_depth, n_full)):
             self.submit(*specs[k])
             submitted += 1
-        for k in range(n_full):
-            slot, batch = self.next()
-            if submitted < n_full:
-                self.submit(*specs[submitted])
-                submitted += 1
-            yield batch  # caller must finish device_put before next iteration
-            self.release(slot)
+        slot = None
+        try:
+            for k in range(n_full):
+                slot, batch = self.next()
+                consumed += 1
+                if submitted < n_full:
+                    self.submit(*specs[submitted])
+                    submitted += 1
+                yield batch  # caller must finish device_put before next iteration
+                self.release(slot)
+                slot = None
+        finally:
+            # early generator exit (exception/close): return the yielded slot
+            # and drain in-flight submissions so the cached assembler's slot
+            # ring is intact for the next epoch
+            if slot is not None:
+                self.release(slot)
+            while consumed < submitted:
+                s, _ = self.next()
+                consumed += 1
+                self.release(s)

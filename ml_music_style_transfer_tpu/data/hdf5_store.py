@@ -52,19 +52,25 @@ def load_dataset(
     n_read: int | None = None,
     dtype: str = "float32",
     include_audio: bool = True,
+    include_specs: bool = True,
 ) -> dict[str, np.ndarray]:
     """Read a preprocessed HDF5 file fully into RAM (train.py:58-71 strategy).
 
     Returns {'pianoroll': (N,860,128), 'onoff': ..., 'spec_<style>': ...,
     optionally 'audio_<style>': ...}; styles are discovered from keys matching
     ``spec_*`` (train.py:51). ``include_audio=False`` skips the raw-audio keys
-    (only the device-resident path needs them).
+    (only the device-resident path needs them); ``include_specs=False`` skips
+    the spectrogram keys (the device-resident path recomputes them on-device).
     """
-    prefixes = ("spec_", "audio_") if include_audio else ("spec_",)
+    prefixes = tuple(
+        p for p, on in (("spec_", include_specs), ("audio_", include_audio)) if on
+    )
     out: dict[str, np.ndarray] = {}
     with h5py.File(path, "r") as f:
         for key in f.keys():
             if key in ("pianoroll", "onoff") or key.startswith(prefixes):
                 ds = f[key]
-                out[key] = np.asarray(ds[:n_read] if n_read else ds[:], dtype=dtype)
+                out[key] = np.asarray(
+                    ds[:n_read] if n_read is not None else ds[:], dtype=dtype
+                )
     return out

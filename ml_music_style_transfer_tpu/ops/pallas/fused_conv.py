@@ -123,7 +123,7 @@ def conv1x3_instnorm_lrelu(
             pl.BlockSpec((3, LANE, LANE), lambda i, j, k: (0, k, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANE), lambda i, j, k: (0, j),
-                         memory_space=pltpu.SMEM if False else pltpu.VMEM),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, T, LANE), lambda i, j, k: (i, 0, j),
                                memory_space=pltpu.VMEM),

@@ -81,7 +81,10 @@ class Trainer:
         # optional transfer compression for host-streamed batches (e.g.
         # jnp.bfloat16 halves upload bytes; loss math stays float32)
         self.stream_dtype = stream_dtype
-        self.mesh = mesh if mesh is not None else pmesh.make_mesh(*train_cfg.mesh_shape, devices=jax.devices()[:1])
+        if mesh is None:
+            n_dev = train_cfg.mesh_shape[0] * train_cfg.mesh_shape[1]
+            mesh = pmesh.make_mesh(*train_cfg.mesh_shape, devices=jax.devices()[:n_dev])
+        self.mesh = mesh
         self.model = PerformanceNet(model_cfg)
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=train_cfg.learning_rate)
         self.scheduler = ReduceLROnPlateau(lr=train_cfg.learning_rate)
@@ -183,7 +186,7 @@ class Trainer:
             yield dev
 
     def train_epoch(self, params, opt_state, dataset: ChunkDataset, epoch: int,
-                    rng: jax.Array, log_every: int = 2, exp=None):
+                    rng: jax.Array, log_every: int = 50, exp=None):
         """One epoch (reference train(), train.py:125-149)."""
         losses_dev = []
         n_batches = dataset.batches_per_epoch(self.cfg.batch_size)
@@ -193,7 +196,7 @@ class Trainer:
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = self.train_step(params, opt_state, batch, sub)
             losses_dev.append(loss)  # device scalar; no per-step host sync
-            if i % log_every == 0:
+            if i % log_every == 0:  # NOTE: the print's float(loss) does sync
                 print(
                     f"Train Epoch: {epoch} [{i * self.cfg.batch_size}/"
                     f"{dataset.n_data} ({100.0 * i / max(1, n_batches):.0f}%)]\t"

@@ -169,7 +169,12 @@ void fl_release(FastLoader* fl, int slot) {
 }
 
 void fl_destroy(FastLoader* fl) {
-  fl->stop = true;
+  {
+    // set under the mutex: a worker evaluating the wait predicate must not
+    // miss the wakeup (notify before it re-blocks would deadlock join)
+    std::lock_guard<std::mutex> lk(fl->mu);
+    fl->stop = true;
+  }
   fl->cv_work.notify_all();
   for (auto& t : fl->workers) t.join();
   delete fl;
