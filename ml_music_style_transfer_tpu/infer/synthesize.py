@@ -70,19 +70,38 @@ class AudioSynthesizer:
         return jax.device_put(state["params"])
 
     # ---- input processing (reference inference.py:37-71, deduplicated) --
-    def process_custom_midi_and_audio(self, midi_path: str, audio_path: str):
-        """MIDI -> chunked (N,860,128) roll/onoff; audio -> (860,1025) cond spec."""
+    def process_custom_midi_and_audio(self, midi_path: str, audio_path: str,
+                                      overlap: bool = True):
+        """MIDI -> chunked (N,860,128) roll/onoff; audio -> (860,1025) cond spec.
+
+        ``overlap=True`` tiles with 50% overlap; predictions are later
+        crossfade-blended (predict_spectrogram), avoiding seams at chunk
+        boundaries. (The reference runs arbitrary-length clips in one eager
+        pass, inference.py:37-84; XLA's static shapes make tiling the
+        TPU-native equivalent — blending recovers the seamless behavior.)
+        """
         hp = self.hp
         mf = midi_parser.load(midi_path)
         roll, onoff = pr.vectorize_notes(mf.notes, hp.wps)
         t_total = roll.shape[0]
         win = hp.windows_per_chunk
-        n_chunks = max(1, -(-t_total // win))
-        pad = n_chunks * win - t_total
-        roll = np.pad(roll, ((0, pad), (0, 0))).astype(np.float32)
-        onoff = np.pad(onoff, ((0, pad), (0, 0))).astype(np.float32)
-        roll_chunks = roll.reshape(n_chunks, win, 128)
-        onoff_chunks = onoff.reshape(n_chunks, win, 128)
+        if t_total < win:
+            roll = np.pad(roll, ((0, win - t_total), (0, 0)))
+            onoff = np.pad(onoff, ((0, win - t_total), (0, 0)))
+        hop = win // 2 if overlap else win
+        last = max(0, roll.shape[0] - win)
+        starts = list(range(0, last + 1, hop))
+        if starts[-1] != last:
+            starts.append(last)
+        # pad the tail so the final aligned chunk is full (non-overlap mode)
+        need = starts[-1] + win
+        if roll.shape[0] < need:
+            pad = need - roll.shape[0]
+            roll = np.pad(roll, ((0, pad), (0, 0)))
+            onoff = np.pad(onoff, ((0, pad), (0, 0)))
+        roll_chunks = np.stack([roll[s : s + win] for s in starts]).astype(np.float32)
+        onoff_chunks = np.stack([onoff[s : s + win] for s in starts]).astype(np.float32)
+        self._chunk_starts = starts
 
         audio, _ = audio_io.read_wav(audio_path, sr=hp.sr)
         spec = np.asarray(jstft.log_power_stft(jnp.asarray(audio), hp.n_fft, hp.ws)).T  # (T,1025)
@@ -96,19 +115,36 @@ class AudioSynthesizer:
 
     # ---- synthesis ------------------------------------------------------
     def predict_spectrogram(self, roll_chunks, onoff_chunks, cond, t_total) -> np.ndarray:
-        """Batched jitted forward over all chunks -> (t_total, 1025) log-power spec."""
-        n = roll_chunks.shape[0]
-        cond_b = jnp.broadcast_to(jnp.asarray(cond), (n,) + cond.shape)
-        pred = jax.jit(lambda p, m, a, c: self.model.apply(p, m, a, c, deterministic=True))(
-            self.params, jnp.asarray(roll_chunks), cond_b, jnp.asarray(onoff_chunks)
-        )
-        spec = np.asarray(pred).reshape(n * self.hp.windows_per_chunk, -1)[:t_total]
-        return spec
+        """Batched jitted forward over all chunks -> (t_total, 1025) log-power spec.
 
-    def inference(self, n_iter: int = 300, output_dir: str | None = None) -> list[str]:
+        Overlapping chunk predictions (process_custom_midi_and_audio) are
+        crossfade-blended with triangular weights, so chunk seams are smooth.
+        """
+        n, win = roll_chunks.shape[:2]
+        cond_b = jnp.broadcast_to(jnp.asarray(cond), (n,) + cond.shape)
+        pred = np.asarray(
+            jax.jit(lambda p, m, a, c: self.model.apply(p, m, a, c, deterministic=True))(
+                self.params, jnp.asarray(roll_chunks), cond_b, jnp.asarray(onoff_chunks)
+            )
+        )
+        starts = getattr(self, "_chunk_starts", None) or [i * win for i in range(n)]
+        length = max(s + win for s in starts)
+        j = np.arange(win, dtype=np.float32)
+        wgt = np.minimum(j + 1.0, win - j)[:, None]  # triangular crossfade
+        num = np.zeros((length, pred.shape[-1]), np.float32)
+        den = np.zeros((length, 1), np.float32)
+        for i, s in enumerate(starts):
+            num[s : s + win] += pred[i] * wgt
+            den[s : s + win] += wgt
+        return (num / np.maximum(den, 1e-9))[:t_total]
+
+    def inference(self, n_iter: int = 300, output_dir: str | None = None,
+                  overlap: bool = True) -> list[str]:
         """Full path (reference inference.py:74-91): predict spec -> Griffin-Lim
         on device -> write output-{i}.wav into an auto-numbered directory."""
-        chunks = self.process_custom_midi_and_audio(self.midi_source, self.audio_source)
+        chunks = self.process_custom_midi_and_audio(
+            self.midi_source, self.audio_source, overlap=overlap
+        )
         print("Inferencing spectrogram......")
         spec = self.predict_spectrogram(*chunks)
         out_dir = output_dir or self.create_output_dir()

@@ -1,3 +1,4 @@
-"""Model family: PerformanceNet dual-encoder conditioned U-Net."""
-from . import layers, performance_net  # noqa: F401
+"""Model families: PerformanceNet (flagship) + compact spectrogram autoencoder."""
+from . import autoencoder, layers, performance_net  # noqa: F401
+from .autoencoder import AutoencoderConfig, SpectrogramAutoencoder  # noqa: F401
 from .performance_net import PerformanceNet, forward_channel_first, temporal_ladder  # noqa: F401

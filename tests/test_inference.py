@@ -62,9 +62,30 @@ class TestSynthesizer:
         assert np.all(np.isfinite(y))
         assert len(y) > 44100  # at least a second of audio for an 8s midi
         # predicted spec covers the midi length: 8s * 172 wps ~ 1376 frames
-        r, o, c, t_total = synth.process_custom_midi_and_audio(midi_path, wav_path)
-        assert r.shape[0] == 2 and r.shape[1:] == (860, 128)  # 1376 -> 2 chunks
+        r, o, c, t_total = synth.process_custom_midi_and_audio(midi_path, wav_path,
+                                                               overlap=False)
+        assert r.shape[0] == 2 and r.shape[1:] == (860, 128)  # 1376 -> 2 tiles
         assert c.shape == (860, 1025)
+        # overlap mode uses 50%-hop tiles for crossfade blending
+        r2, *_ = synth.process_custom_midi_and_audio(midi_path, wav_path, overlap=True)
+        starts = synth._chunk_starts
+        assert r2.shape[0] == len(starts)
+        assert starts[0] == 0 and starts[-1] + 860 >= t_total
+        if len(starts) > 1:
+            assert max(np.diff(starts)) <= 430  # 50% overlap guaranteed
+
+    def test_overlap_blend_is_smooth_and_covers(self, fake_experiment, user_inputs):
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
+        chunks = synth.process_custom_midi_and_audio(midi_path, wav_path, overlap=True)
+        spec = synth.predict_spectrogram(*chunks)
+        assert spec.shape[0] == chunks[3]  # trimmed to true midi length
+        assert np.all(np.isfinite(spec))
+        # blended output should have no larger frame-to-frame jumps at the
+        # seam region than elsewhere (smoke check for seam artifacts)
+        diffs = np.abs(np.diff(spec, axis=0)).mean(axis=1)
+        seam = diffs[425:435].max()
+        assert seam < diffs.max() * 1.5 + 1e-6
 
     def test_output_dir_autonumber(self, fake_experiment, user_inputs):
         midi_path, wav_path = user_inputs
