@@ -144,3 +144,24 @@ class TestMel:
         m_jx = np.asarray(jmel.melspectrogram_from_power(jnp.asarray(power.astype(np.float32))))
         m_np = npref.mel_filterbank(44100, 2048, 128) @ power
         np.testing.assert_allclose(m_jx, m_np, rtol=2e-3, atol=1e-4)
+
+
+class TestMFCC:
+    def test_mfcc_shape_and_dct_orthonormality(self):
+        y = _harmonic_signal(20480)
+        S = np.asarray(jstft.stft(jnp.asarray(y), 2048, 256))
+        power = (np.abs(S) ** 2).astype(np.float32)
+        m = np.asarray(jmel.mfcc_from_power(jnp.asarray(power), n_mfcc=20))
+        assert m.shape == (20, power.shape[1])
+        assert np.all(np.isfinite(m))
+        # DCT-II ortho rows are orthonormal
+        d = jmel._dct_const(128, 128)
+        np.testing.assert_allclose(d @ d.T, np.eye(128), atol=1e-5)
+
+    def test_mfcc_matches_scipy_dct(self):
+        from scipy.fft import dct as sdct
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((128,)).astype(np.float64)
+        want = sdct(x, type=2, norm="ortho")[:20]
+        got = jmel._dct_const(20, 128).astype(np.float64) @ x
+        np.testing.assert_allclose(got, want, atol=1e-6)
