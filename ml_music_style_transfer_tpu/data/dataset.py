@@ -40,6 +40,17 @@ class ChunkDataset:
             for s in self.styles
         }
         self.n_data = self.pianoroll.shape[0]
+        # alignment guard: a style missing for SOME songs leaves its spec_*
+        # dataset shorter than the roll — indices silently point at the wrong
+        # music (the reference has this failure mode, io_manager.py:41
+        # contract vs preprocess.py:185-190 skip). Fail loudly instead.
+        bad = {s: raw[s].shape[0] for s in self.styles if raw[s].shape[0] != self.n_data}
+        if bad:
+            raise ValueError(
+                f"misaligned dataset {path}: pianoroll has {self.n_data} chunks "
+                f"but styles {bad} differ — some songs lack those styles' audio; "
+                "preprocess with a style set present for every song"
+            )
         self.rng = np.random.default_rng(seed)
         self._native = {}
 

@@ -44,6 +44,14 @@ class DeviceDataStore:
             )
         self.hp = hp
         self.rng = np.random.default_rng(seed)
+        n_roll = raw["pianoroll"].shape[0]
+        bad = {s: raw[f"audio_{s}"].shape[0] for s in self.styles
+               if raw[f"audio_{s}"].shape[0] != n_roll}
+        if bad:
+            raise ValueError(
+                f"misaligned dataset {path}: pianoroll has {n_roll} chunks but "
+                f"audio styles {bad} differ (style missing for some songs)"
+            )
         # (S, N, samples) bf16 and (N, T, 128) int8, uploaded once
         audio = np.stack([raw[f"audio_{s}"] for s in self.styles])
         self.audio = jax.device_put(jnp.asarray(audio, dtype=audio_dtype))

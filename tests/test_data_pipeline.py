@@ -139,3 +139,20 @@ class TestMusicNetCuration:
         ids = musicnet.extract_piano_pieces(str(tmp_path), "train", "pieces")
         assert ids == ["1234"]
         assert (tmp_path / "pieces_train.txt").read_text() == "1234\n"
+
+
+class TestAlignmentGuard:
+    def test_partially_missing_style_fails_loudly(self, synth_dir, tmp_path):
+        """A style present for one song but not another must not silently
+        misalign indices (the reference trains on wrong pairs here)."""
+        import h5py
+        from ml_music_style_transfer_tpu.data.dataset import ChunkDataset
+        out = pp.get_data(synth_dir, str(tmp_path / "mis"), "train",
+                          song_ids=[101, 202], styles=["cuba"])
+        # simulate song 202 lacking 'upright': append an upright spec shorter
+        # than the roll count
+        with h5py.File(out, "a") as f:
+            n = f["pianoroll"].shape[0]
+            f.create_dataset("spec_upright", data=np.zeros((n - 2, 1025, 860), np.float32))
+        with pytest.raises(ValueError, match="misaligned"):
+            ChunkDataset(out)
