@@ -65,42 +65,56 @@ def main():
     key = jax.random.PRNGKey(0)
 
     t0 = time.perf_counter()
-    params, opt_state, loss = trainer.train_step(params, opt_state, batch, key)
-    jax.block_until_ready(loss)
-    log(f"train_step compile+first: {time.perf_counter()-t0:.1f}s loss={float(loss):.4f}")
-
-    times = []
-    for i in range(args.steps):
+    for _ in range(2):  # two warmups: donation changes layouts after call 1
         key, sub = jax.random.split(key)
-        t0 = time.perf_counter()
         params, opt_state, loss = trainer.train_step(params, opt_state, batch, sub)
-        jax.block_until_ready(loss)
-        times.append(time.perf_counter() - t0)
-    step_time = float(np.median(times))
+    first_loss = float(loss)  # scalar fetch: forces everything queued
+    log(f"train_step compile+warmup: {time.perf_counter()-t0:.1f}s loss={first_loss:.4f}")
+
+    # Slope method: time N_small and N_large runs, each ended by a scalar
+    # loss fetch, and take the difference. Robust against the runtime
+    # reporting buffers ready before programs complete (observed on axon:
+    # block_until_ready can return in ms for a 270 ms program), and measures
+    # the realistic pipelined steady-state rate.
+    def run(n):
+        nonlocal params, opt_state, key
+        t0 = time.perf_counter()
+        for _ in range(n):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = trainer.train_step(params, opt_state, batch, sub)
+        _ = float(loss)
+        return time.perf_counter() - t0
+
+    n_small = max(2, args.steps // 5)
+    t_small = run(n_small)
+    t_large = run(args.steps + n_small)
+    step_time = (t_large - t_small) / args.steps
     frames_per_sec = B * T / step_time
-    log(f"steady step: {step_time*1e3:.1f} ms -> {frames_per_sec:,.0f} frames/s/chip")
+    log(f"steady step (slope over {args.steps}): {step_time*1e3:.1f} ms "
+        f"-> {frames_per_sec:,.0f} frames/s/chip")
 
     extras = {}
     if not args.skip_extras:
-        # batched preprocessing STFT throughput (BASELINE config 2)
+        # batched preprocessing STFT throughput (BASELINE config 2).
+        # Timed runs end with a scalar fetch (see slope-method note above).
         chunks = rng.standard_normal((32, 219904)).astype(np.float32)
         x = jnp.asarray(chunks)
         s = jstft.log_power_stft(x)
-        jax.block_until_ready(s)
+        _ = float(s[0, 0, 0])
         t0 = time.perf_counter()
-        for _ in range(5):
+        for _i in range(5):
             s = jstft.log_power_stft(x)
-        jax.block_until_ready(s)
+        _ = float(s[0, 0, 0])
         extras["preprocess_frames_per_sec"] = 32 * 860 * 5 / (time.perf_counter() - t0)
 
         # Griffin-Lim 300 iters, 10 s clip (BASELINE config 5 / north star)
         n_frames_10s = 1 + (10 * 44100) // 256
         mag = jnp.asarray(np.abs(rng.standard_normal((1025, n_frames_10s))).astype(np.float32))
         w = jgl.griffinlim(mag, key=jax.random.PRNGKey(0), n_iter=300)
-        jax.block_until_ready(w)
+        _ = float(w[0])
         t0 = time.perf_counter()
         w = jgl.griffinlim(mag, key=jax.random.PRNGKey(0), n_iter=300)
-        jax.block_until_ready(w)
+        _ = float(w[0])
         extras["griffinlim_sec_per_10s_clip"] = time.perf_counter() - t0
         log(f"extras: {extras}")
 
