@@ -148,12 +148,20 @@ class AudioSynthesizer:
         print("Inferencing spectrogram......")
         spec = self.predict_spectrogram(*chunks)
         out_dir = output_dir or self.create_output_dir()
+        # bucket the frame count to a multiple of half a chunk so repeated
+        # inferences of similar-length clips reuse one compiled Griffin-Lim
+        # (XLA compiles per static shape); padded frames are silence and the
+        # surplus samples are trimmed after synthesis
+        t = spec.shape[0]
+        bucket = self.hp.windows_per_chunk // 2
+        t_pad = -(-t // bucket) * bucket
+        spec_padded = np.pad(spec, ((0, t_pad - t), (0, 0)))
         wav = np.asarray(
             jgl.griffinlim_from_log_power(
-                jnp.asarray(spec.T), key=jax.random.PRNGKey(0), n_iter=n_iter,
+                jnp.asarray(spec_padded.T), key=jax.random.PRNGKey(0), n_iter=n_iter,
                 hop_length=self.hp.ws, clip_max=self.hp.clip_log_power_max,
             )
-        )
+        )[: t * self.hp.ws]
         path = os.path.join(out_dir, "output-1.wav")
         audio_io.write_wav(path, wav, self.hp.sr)
         return [path]

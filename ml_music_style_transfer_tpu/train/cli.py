@@ -36,6 +36,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="weight of the DDSP-style multi-scale spectral loss")
     p.add_argument("--compat-mbr-noop", action="store_true",
                    help="reproduce the reference MBRBlock no-op/doubling behavior")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="fail fast on NaN anywhere in jitted computation "
+                        "(jax_debug_nans; the numeric sanitizer, SURVEY §5)")
     p.add_argument("--stream-bf16", action="store_true",
                    help="stream host batches as bfloat16 (halves upload bytes on "
                         "low-bandwidth links; use when the dataset exceeds HBM)")
@@ -48,6 +51,10 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
+    if args.debug_nans:
+        from ..utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
     model_cfg = ModelConfig(width_mult=args.width_mult, compat_mbr_noop=args.compat_mbr_noop)
     train_cfg = TrainConfig(
         epochs=args.epochs, test_freq=args.test_freq, exp_name=args.exp_name,
