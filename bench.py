@@ -38,6 +38,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # persistent compile cache: repeat bench runs skip the ~80 s XLA compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mmst_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from ml_music_style_transfer_tpu.config import ModelConfig, TrainConfig
     from ml_music_style_transfer_tpu.ops import griffinlim as jgl
     from ml_music_style_transfer_tpu.ops import stft as jstft

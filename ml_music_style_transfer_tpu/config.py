@@ -100,6 +100,10 @@ class ModelConfig:
     compat_mbr_noop: bool = False
     # Compute dtype for matmul/conv-heavy paths (params stay float32).
     compute_dtype: str = "bfloat16"
+    # Rematerialize encoder blocks in the backward pass (jax.checkpoint):
+    # trades ~1/3 more FLOPs for large activation-memory savings — enables
+    # bigger batches / longer sequences when HBM is the constraint.
+    remat: bool = False
 
     def scaled(self, c: int) -> int:
         """Apply width_mult, rounding up to a multiple of 16 (min 16): the

@@ -70,16 +70,17 @@ class PerformanceNet(nn.Module):
         audio_plan = cfg.audio_channel_plan
 
         # --- encoders, collecting pre-pool skips (model.py:264-274)
+        down = nn.remat(DownConv) if cfg.remat else DownConv
         midi_skips, audio_skips = [], []
         h = x_midi
         for i, feats in enumerate(midi_plan):
             pooling = i < cfg.depth - 1
-            h, before = DownConv(feats, pooling, dtype, name=f"midi_down_{i}")(h)
+            h, before = down(feats, pooling, dtype, name=f"midi_down_{i}")(h)
             midi_skips.append(before)
         a = x_audio
         for i, feats in enumerate(audio_plan):
             pooling = i < cfg.depth - 1
-            a, before = DownConv(feats, pooling, dtype, name=f"audio_down_{i}")(a)
+            a, before = down(feats, pooling, dtype, name=f"audio_down_{i}")(a)
             audio_skips.append(before)
 
         # --- bottleneck fusion (model.py:277)

@@ -145,3 +145,24 @@ class TestPerformanceNet:
         leaves, _ = jax.tree_util.tree_flatten(grads)
         nonzero = sum(float(jnp.abs(g).sum()) > 0 for g in leaves)
         assert nonzero / len(leaves) > 0.95, f"{nonzero}/{len(leaves)} grads nonzero"
+
+
+class TestRemat:
+    def test_remat_model_matches_and_trains(self):
+        """remat=True must not change outputs; grads still flow."""
+        from ml_music_style_transfer_tpu.config import ModelConfig
+        cfg_r = ModelConfig(width_mult=1 / 16, compute_dtype="float32", remat=True)
+        m_plain = PerformanceNet(TINY)
+        m_remat = PerformanceNet(cfg_r)
+        midi, spec, onoff = tiny_inputs(B=1, T=220)
+        params = jax.jit(m_plain.init)(jax.random.PRNGKey(0), midi, spec, onoff)
+        y0 = jax.jit(m_plain.apply)(params, midi, spec, onoff)
+        y1 = jax.jit(m_remat.apply)(params, midi, spec, onoff)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+        def loss_fn(p):
+            return jnp.mean(jnp.abs(m_remat.apply(p, midi, spec, onoff)))
+
+        grads = jax.jit(jax.grad(loss_fn))(params)
+        total = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+        assert total > 0
