@@ -1,0 +1,92 @@
+"""Full-size output-parity check: reference torch model vs imported params.
+
+Instantiates the reference's own PerformanceNet (read-only import from
+/root/reference), converts its fresh state_dict with compat.torch_import,
+runs BOTH models on identical inputs, and reports max/mean deviation.
+Run with ModelConfig(compat_mbr_noop=True) so our MBR matches the
+reference's literal 2x behavior.
+
+Heavy (one torch CPU forward ~1-3 min at the reduced T below); run manually:
+    python scripts/verify_torch_import.py [--t-frames 220]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t-frames", type=int, default=220)
+    args = ap.parse_args()
+
+    import torch
+
+    sys.path.insert(0, "/root/reference/model")
+    from model import PerformanceNet as TorchPNet  # reference's own code
+
+    import jax
+
+    # bit-level comparison needs CPU float32 math: on TPU the default matmul
+    # precision uses bf16 passes, which through 40 layers + the MBR doublings
+    # reads as ~20% deviation (observed) and is NOT an importer bug
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from ml_music_style_transfer_tpu.compat import convert_state_dict
+    from ml_music_style_transfer_tpu.config import ModelConfig
+    from ml_music_style_transfer_tpu.models import PerformanceNet
+
+    torch.manual_seed(0)
+    tmodel = TorchPNet()
+    tmodel.eval()
+    print("reference model instantiated", file=sys.stderr)
+
+    params = convert_state_dict(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    )
+    print("state_dict converted", file=sys.stderr)
+
+    T = args.t_frames
+    rng = np.random.default_rng(0)
+    midi = (rng.random((1, 128, T)) < 0.05).astype(np.float32)
+    onoff = rng.choice([-1.0, 0.0, 1.0], (1, 128, T), p=[0.02, 0.96, 0.02]).astype(np.float32)
+    spec = (rng.random((1, 1025, T)) * 3).astype(np.float32)
+
+    t0 = time.time()
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(midi), torch.from_numpy(spec),
+                      torch.from_numpy(onoff)).numpy()
+    print(f"torch forward: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    model = PerformanceNet(ModelConfig(compat_mbr_noop=True, compute_dtype="float32"))
+    t0 = time.time()
+    got = np.asarray(
+        jax.jit(lambda p, m, a, c: model.apply(p, m, a, c, deterministic=True))(
+            params,
+            jnp.asarray(midi.transpose(0, 2, 1)),
+            jnp.asarray(spec.transpose(0, 2, 1)),
+            jnp.asarray(onoff.transpose(0, 2, 1)),
+        )
+    ).transpose(0, 2, 1)
+    print(f"jax forward (incl compile): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    abs_err = np.abs(got - want)
+    scale = np.abs(want).max()
+    print(f"output shapes: torch {want.shape} jax {got.shape}")
+    print(f"max abs err: {abs_err.max():.3e}  mean: {abs_err.mean():.3e}  "
+          f"rel-to-peak: {abs_err.max()/max(scale,1e-9):.3e}")
+    ok = abs_err.max() / max(scale, 1e-9) < 1e-3
+    print("PARITY OK" if ok else "PARITY FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
