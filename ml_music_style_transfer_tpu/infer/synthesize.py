@@ -56,6 +56,12 @@ class AudioSynthesizer:
         self.params = self._load_params(checkpoint_path)
 
     def _load_params(self, path: str):
+        if path.endswith(".tar"):
+            # a reference (PyTorch) checkpoint: import it directly
+            # (use ModelConfig(compat_mbr_noop=True) for output parity)
+            from ..compat import load_reference_checkpoint
+
+            return jax.device_put(load_reference_checkpoint(path))
         t = self.hp.windows_per_chunk
         dummy = (
             jnp.zeros((1, t, self.model_cfg.start_channels), jnp.float32),
