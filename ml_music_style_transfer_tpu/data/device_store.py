@@ -36,6 +36,16 @@ class DeviceDataStore:
     def __init__(self, path: str, n_read: int | None = None,
                  hp: DSPConfig = DEFAULT_DSP, seed: int = 42,
                  audio_dtype=jnp.bfloat16):
+        """``audio_dtype`` trades HBM/bandwidth for target fidelity.
+
+        NOTE (documented divergence): bfloat16 audio (default) means the
+        train/cond spectrograms — log1p(|STFT|^2) of ~8-bit-mantissa audio —
+        differ numerically from the float32 host-streamed path; the two
+        training modes optimize slightly different targets. Pass
+        ``audio_dtype=jnp.float32`` for exact parity when the dataset fits
+        (full MusicNet-piano audio is ~7.5 GB f32 vs ~3.7 GB bf16 in HBM,
+        alongside the 732M-param model + Adam state).
+        """
         raw = load_dataset(path, n_read=n_read, include_specs=False)
         self.styles = sorted(k[len("audio_"):] for k in raw if k.startswith("audio_"))
         if not self.styles:
@@ -43,6 +53,7 @@ class DeviceDataStore:
                 f"{path} has no audio_* keys — re-run preprocessing with --store-audio"
             )
         self.hp = hp
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
         n_roll = raw["pianoroll"].shape[0]
         bad = {s: raw[f"audio_{s}"].shape[0] for s in self.styles
@@ -73,9 +84,32 @@ class DeviceDataStore:
             yield (jnp.asarray(idx, jnp.int32), jnp.asarray(cond_idx, jnp.int32),
                    jnp.asarray(style, jnp.int32))
 
+    def eval_epoch_indices(self, batch_size: int):
+        """Deterministic full-coverage index plan for evaluation.
+
+        Covers every chunk once in order; the final batch is zero-weight
+        padded to the static batch size (weighted-exact MSE, mirroring
+        ChunkDataset.epoch_batches drop_last=False). Conditioning/style
+        draws use a fresh fixed-seed RNG each call so repeated evals measure
+        the identical quantity — plateau scheduling stays stable.
+        """
+        rng = np.random.default_rng(self._seed + 1)
+        n_batches = -(-self.n_data // batch_size)
+        for k in range(n_batches):
+            idx = np.arange(k * batch_size, min((k + 1) * batch_size, self.n_data))
+            weight = np.ones(len(idx), np.float32)
+            if len(idx) < batch_size:
+                pad = batch_size - len(idx)
+                idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+                weight = np.concatenate([weight, np.zeros(pad, np.float32)])
+            cond_idx = rng.integers(0, self.n_data, batch_size)
+            style = rng.integers(0, len(self.styles), batch_size)
+            yield (jnp.asarray(idx, jnp.int32), jnp.asarray(cond_idx, jnp.int32),
+                   jnp.asarray(style, jnp.int32), jnp.asarray(weight))
+
 
 def gather_batch(store_audio, store_roll, store_onoff, idx, cond_idx, style,
-                 hp: DSPConfig = DEFAULT_DSP) -> Dict[str, jnp.ndarray]:
+                 hp: DSPConfig = DEFAULT_DSP, weight=None) -> Dict[str, jnp.ndarray]:
     """On-device batch assembly (jit-inlined into the train step).
 
     Gathers rolls + style-paired audio chunks and computes log-power STFTs
@@ -92,6 +126,7 @@ def gather_batch(store_audio, store_roll, store_onoff, idx, cond_idx, style,
         jstft.log_power(jstft.stft(target_audio, hp.n_fft, hp.ws)), -1, -2)
     cond = jnp.swapaxes(
         jstft.log_power(jstft.stft(cond_audio, hp.n_fft, hp.ws)), -1, -2)
-    weight = jnp.ones(idx.shape, jnp.float32)
+    if weight is None:
+        weight = jnp.ones(idx.shape, jnp.float32)
     return {"midi": midi, "onoff": onoff, "cond": cond, "target": target,
             "weight": weight}

@@ -23,12 +23,20 @@ def main(argv=None) -> None:
     p.add_argument("--width-mult", type=float, default=1.0,
                    help="must match the trained model's width")
     p.add_argument("--n-iter", type=int, default=300, help="Griffin-Lim iterations")
+    p.add_argument("--compat-mbr-noop", action="store_true",
+                   help="reproduce the reference MBRBlock's literal 2*x "
+                        "behavior (forced automatically for .tar checkpoints)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="explicit checkpoint path (.msgpack or reference .tar); "
+                        "default resolves via hyperparams.json best_epoch")
     args = p.parse_args(argv)
 
     exp_dir = os.path.join(os.path.abspath("./experiments"), args.exp_name)
     synth = AudioSynthesizer(
         exp_dir, args.midi_source, args.audio_source,
-        model_cfg=ModelConfig(width_mult=args.width_mult),
+        model_cfg=ModelConfig(width_mult=args.width_mult,
+                              compat_mbr_noop=args.compat_mbr_noop),
+        checkpoint_path=args.checkpoint,
     )
     outs = synth.inference(n_iter=args.n_iter)
     for o in outs:

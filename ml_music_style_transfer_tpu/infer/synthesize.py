@@ -49,16 +49,27 @@ class AudioSynthesizer:
         self.hp = hp
         self.midi_source = midi_source
         self.audio_source = audio_source
-        self.model = PerformanceNet(model_cfg)
-        self.model_cfg = model_cfg
         if checkpoint_path is None:
             checkpoint_path, _ = ckpt.best_checkpoint(exp_dir)
+        if checkpoint_path.endswith(".tar") and not model_cfg.compat_mbr_noop:
+            # Reference checkpoints' MBR conv weights are untrained random
+            # init (the reference MBRBlock discards torch.add's result,
+            # model.py:172, so they never receive gradients); running them as
+            # a real residual silently diverges from the reference model.
+            import dataclasses
+
+            print(
+                "note: reference .tar checkpoint — forcing "
+                "compat_mbr_noop=True for output parity"
+            )
+            model_cfg = dataclasses.replace(model_cfg, compat_mbr_noop=True)
+        self.model = PerformanceNet(model_cfg)
+        self.model_cfg = model_cfg
         self.params = self._load_params(checkpoint_path)
 
     def _load_params(self, path: str):
         if path.endswith(".tar"):
             # a reference (PyTorch) checkpoint: import it directly
-            # (use ModelConfig(compat_mbr_noop=True) for output parity)
             from ..compat import load_reference_checkpoint
 
             return jax.device_put(load_reference_checkpoint(path))

@@ -128,11 +128,13 @@ class DownConv(nn.Module):
     features: int
     pooling: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
+    slope: float = 0.01
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
-        x = leaky_relu(instance_norm(Conv1x3(self.features, self.compute_dtype)(x)))
-        x = leaky_relu(instance_norm(Conv1x3(self.features, self.compute_dtype)(x)))
+        x = leaky_relu(instance_norm(Conv1x3(self.features, self.compute_dtype)(x), self.eps), self.slope)
+        x = leaky_relu(instance_norm(Conv1x3(self.features, self.compute_dtype)(x), self.eps), self.slope)
         before_pool = x
         if self.pooling:
             x = nn.max_pool(x, window_shape=(2,), strides=(2,))
@@ -147,6 +149,8 @@ class UpConv(nn.Module):
     upconv_kernel: int = 2
     has_condition: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
+    slope: float = 0.01
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, skip, dec, cond: Optional[jnp.ndarray] = None):
@@ -154,15 +158,17 @@ class UpConv(nn.Module):
             instance_norm(
                 ConvTranspose1dTorch(
                     self.features, self.upconv_kernel, 2, 1, self.compute_dtype
-                )(dec)
-            )
+                )(dec),
+                self.eps,
+            ),
+            self.slope,
         )
         x = crop_and_concat(x, skip)
-        x = leaky_relu(instance_norm(Conv1x3(self.features, self.compute_dtype)(x)))
+        x = leaky_relu(instance_norm(Conv1x3(self.features, self.compute_dtype)(x), self.eps), self.slope)
         if self.has_condition:
             x = crop_and_concat(x, cond)
         x = Conv1x3(self.features, self.compute_dtype)(x)
-        return leaky_relu(instance_norm(x))
+        return leaky_relu(instance_norm(x, self.eps), self.slope)
 
 
 class DenseConcat(nn.Module):
@@ -209,6 +215,8 @@ class MBRBlock(nn.Module):
     num_bands: int
     compat_noop: bool = False
     compute_dtype: jnp.dtype = jnp.bfloat16
+    slope: float = 0.01
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
@@ -220,7 +228,7 @@ class MBRBlock(nn.Module):
         bands = jnp.split(x, self.num_bands, axis=-1)
         outs = []
         for i, band in enumerate(bands):
-            t = leaky_relu(instance_norm(Conv1x3(band_dim, self.compute_dtype, name=f"conv1_{i}")(band)))
-            t = instance_norm(Conv1x3(band_dim, self.compute_dtype, name=f"conv2_{i}")(t))
+            t = leaky_relu(instance_norm(Conv1x3(band_dim, self.compute_dtype, name=f"conv1_{i}")(band), self.eps), self.slope)
+            t = instance_norm(Conv1x3(band_dim, self.compute_dtype, name=f"conv2_{i}")(t), self.eps)
             outs.append(t)
         return x + jnp.concatenate(outs, axis=-1)

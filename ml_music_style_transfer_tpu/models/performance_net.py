@@ -47,7 +47,9 @@ class OnsetOffsetEncoder(nn.Module):
         conditions = []
         for i in range(cfg.onset_encoder_depth):
             feats = cfg.scaled(cfg.start_channels * (2 ** (i + 1)))
-            x, _ = DownConv(feats, pooling=True, compute_dtype=dtype, name=f"down_{i}")(x)
+            x, _ = DownConv(feats, pooling=True, compute_dtype=dtype,
+                            slope=cfg.leaky_relu_slope, eps=cfg.instance_norm_eps,
+                            name=f"down_{i}")(x)
             if i > cfg.onset_encoder_depth - 3:  # last two pooled maps (model.py:139-140)
                 conditions.append(x)
         return conditions
@@ -71,16 +73,17 @@ class PerformanceNet(nn.Module):
 
         # --- encoders, collecting pre-pool skips (model.py:264-274)
         down = nn.remat(DownConv) if cfg.remat else DownConv
+        slope, eps = cfg.leaky_relu_slope, cfg.instance_norm_eps
         midi_skips, audio_skips = [], []
         h = x_midi
         for i, feats in enumerate(midi_plan):
             pooling = i < cfg.depth - 1
-            h, before = down(feats, pooling, dtype, name=f"midi_down_{i}")(h)
+            h, before = down(feats, pooling, dtype, slope, eps, name=f"midi_down_{i}")(h)
             midi_skips.append(before)
         a = x_audio
         for i, feats in enumerate(audio_plan):
             pooling = i < cfg.depth - 1
-            a, before = down(feats, pooling, dtype, name=f"audio_down_{i}")(a)
+            a, before = down(feats, pooling, dtype, slope, eps, name=f"audio_down_{i}")(a)
             audio_skips.append(before)
 
         # --- bottleneck fusion (model.py:277)
@@ -106,15 +109,15 @@ class PerformanceNet(nn.Module):
             skip = dense(i + 1)(midi_skips[-(i + 2)], audio_skips[-(i + 2)], deterministic)
             # reference indexing quirk: Onoff_Conditions[i-1] => [-1] then [0]
             c = onoff_conditions[i - 1] if has_cond else None
-            x = UpConv(feats, k, has_cond, dtype, name=f"up_{i}")(skip, x, c)
+            x = UpConv(feats, k, has_cond, dtype, slope, eps, name=f"up_{i}")(skip, x, c)
 
         # --- multi-band residual blocks (model.py:295-298)
         for j, bands in enumerate((2, 4, 8, 16)):
-            x = MBRBlock(bands, cfg.compat_mbr_noop, dtype, name=f"mbr_{j}")(x)
+            x = MBRBlock(bands, cfg.compat_mbr_noop, dtype, slope, eps, name=f"mbr_{j}")(x)
 
         # --- head (model.py:242-243, 299)
         x = ConvTranspose1dTorch(cfg.n_out_bins, 3, 1, 1, dtype, name="lastconv")(x)
-        return leaky_relu(x).astype(jnp.float32)
+        return leaky_relu(x, slope).astype(jnp.float32)
 
 
 def forward_channel_first(model, params, midi_cf, spec_cf, onoff_cf, **kw):

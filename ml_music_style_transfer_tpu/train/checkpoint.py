@@ -84,6 +84,16 @@ def latest_checkpoint(exp_dir: str) -> tuple[str, int] | None:
 
 def best_checkpoint(exp_dir: str) -> tuple[str, int]:
     """Resolve the checkpoint inference should load, via hyperparams.json's
-    best_epoch (the reference contract, inference.py:120-122)."""
+    best_epoch (the reference contract, inference.py:120-122).
+
+    Falls back to the reference's own ``checkpoint-{epoch}.tar`` naming
+    (train.py:202-204) so an unmodified reference experiment dir loads
+    directly (via compat/torch_import.py).
+    """
     exp = ExperimentState.load(exp_dir)
-    return checkpoint_path(exp_dir, exp.best_epoch), exp.best_epoch
+    path = checkpoint_path(exp_dir, exp.best_epoch)
+    if not os.path.exists(path):
+        tar = os.path.join(exp_dir, f"checkpoint-{exp.best_epoch}.tar")
+        if os.path.exists(tar):
+            return tar, exp.best_epoch
+    return path, exp.best_epoch

@@ -136,10 +136,12 @@ class Trainer:
 
         self.train_step_resident = jax.jit(train_step_resident, donate_argnums=(0, 1))
 
-        def eval_step_resident(params, audio, roll, onoff, idx, cond_idx, style):
+        def eval_step_resident(params, audio, roll, onoff, idx, cond_idx, style,
+                               weight=None):
             from ..data.device_store import gather_batch
 
-            batch = gather_batch(audio, roll, onoff, idx, cond_idx, style)
+            batch = gather_batch(audio, roll, onoff, idx, cond_idx, style,
+                                 weight=weight)
             return eval_step(params, batch)
 
         self.eval_step_resident = jax.jit(eval_step_resident)
@@ -229,6 +231,28 @@ class Trainer:
         print(f"====> Test set loss: {test_loss:.4f}")
         return test_loss
 
+    def evaluate_resident(self, store, params, exp=None) -> float:
+        """Weighted-exact MSE over a device-resident test split.
+
+        Per-batch host traffic is index vectors only — the host path would
+        stream ~spectrogram-sized batches over the ~0.05 GB/s tunneled link
+        on every eval (reference test(), train.py:152-170 semantics).
+        """
+        total, weight_sum = 0.0, 0.0
+        for idx, cond_idx, style, weight in store.eval_epoch_indices(self.cfg.batch_size):
+            loss = self.eval_step_resident(
+                params, store.audio, store.pianoroll, store.onoff,
+                idx, cond_idx, style, weight,
+            )
+            w = float(np.sum(np.asarray(weight)))
+            total += float(loss) * w
+            weight_sum += w
+            if exp is not None:
+                exp.iter_test_loss.append(float(loss))
+        test_loss = total / max(weight_sum, 1.0)
+        print(f"====> Test set loss: {test_loss:.4f} (device-resident)")
+        return test_loss
+
     def train_epoch_resident(self, store, params, opt_state, epoch: int,
                              rng: jax.Array, exp=None):
         """One epoch against a DeviceDataStore: zero per-step host transfer."""
@@ -251,25 +275,45 @@ class Trainer:
         return params, opt_state, avg, rng
 
     # ---- full fit (reference main(), train.py:173-208) ----------------
-    def fit(self, data_dir: str, resume: bool = False, device_resident: bool = False):
+    def fit(self, data_dir: str, resume: bool = False, device_resident: bool = False,
+            device_audio_dtype=None):
         """Train. ``device_resident=True`` parks the train split in HBM and
-        assembles batches on-device (requires preprocessing --store-audio);
-        the (small) test split always evaluates via the host path."""
+        assembles batches on-device (requires preprocessing --store-audio).
+
+        ``device_audio_dtype`` (default bfloat16) controls the HBM-resident
+        audio precision: bf16 halves HBM but the on-device spectrogram
+        targets differ numerically from the float32 host-streamed path (the
+        two modes optimize slightly different targets); pass jnp.float32 for
+        exact parity when the dataset fits (see data/device_store.py).
+        """
         os.makedirs(self.exp_root, exist_ok=True)
         if not resume:
             os.makedirs(self.exp_dir)  # same error-on-exists semantics (train.py:183)
-        store = None
+        store = test_store = None
+        train_ds = test_ds = None
         if device_resident:
             from ..data.device_store import DeviceDataStore
 
+            store_kw = {} if device_audio_dtype is None else {"audio_dtype": device_audio_dtype}
             store = DeviceDataStore(data_dir + "_train.hdf5",
-                                    n_read=self.cfg.n_train_read, seed=self.cfg.seed)
+                                    n_read=self.cfg.n_train_read, seed=self.cfg.seed,
+                                    **store_kw)
             print(f"device-resident dataset: {store.n_data} chunks x "
                   f"{len(store.styles)} styles, {store.hbm_bytes()/1e9:.2f} GB HBM")
-        train_ds, test_ds = process_data(
-            data_dir, 1 if device_resident else self.cfg.n_train_read,
-            self.cfg.n_test_read, self.cfg.seed
-        )
+            try:
+                test_store = DeviceDataStore(data_dir + "_test.hdf5",
+                                             n_read=self.cfg.n_test_read,
+                                             seed=self.cfg.seed + 1, **store_kw)
+            except (ValueError, FileNotFoundError, OSError):
+                # test split preprocessed without --store-audio: evaluate via
+                # the host-streamed path instead
+                test_ds = ChunkDataset(data_dir + "_test.hdf5",
+                                       n_read=self.cfg.n_test_read,
+                                       seed=self.cfg.seed + 1)
+        else:
+            train_ds, test_ds = process_data(
+                data_dir, self.cfg.n_train_read, self.cfg.n_test_read, self.cfg.seed
+            )
         params, opt_state = self.init_state(self.cfg.seed)
         exp = ckpt.ExperimentState(self.cfg.epochs, self.cfg.test_freq, self.cfg.exp_name)
         start_epoch = 0
@@ -282,7 +326,15 @@ class Trainer:
                            "opt_state": jax.device_get(opt_state),
                            "epoch": 0, "scheduler": self.scheduler.state_dict()})
                 params = pmesh.shard_params(state["params"], self.mesh)
-                opt_state = jax.device_put(state["opt_state"])
+                # opt_state mirrors the param tree: reuse the shardings the
+                # freshly-initialized (sharded) opt_state already carries, so
+                # resumed state lands on the same device set as params and the
+                # donated train_step sees consistent placements on step one
+                opt_shardings = jax.tree_util.tree_map(
+                    lambda x: x.sharding if hasattr(x, "sharding") else self._repl,
+                    opt_state,
+                )
+                opt_state = jax.device_put(state["opt_state"], opt_shardings)
                 self.scheduler.load_state_dict(state["scheduler"])
                 exp = ckpt.ExperimentState.load(self.exp_dir)
                 start_epoch = state["epoch"]
@@ -310,7 +362,10 @@ class Trainer:
                         frames_per_sec=n_batches
                         * self.cfg.batch_size * 860 / max(dt, 1e-9))
             if epoch % self.cfg.test_freq == 0:
-                test_loss = self.evaluate(params, test_ds, exp=exp)
+                if test_store is not None:
+                    test_loss = self.evaluate_resident(test_store, params, exp=exp)
+                else:
+                    test_loss = self.evaluate(params, test_ds, exp=exp)
                 exp.test_loss_history.append(test_loss)
                 opt_state = self.set_lr(opt_state, self.scheduler.step(test_loss))
                 metrics.log("eval", epoch=epoch, test_loss=test_loss, lr=self.scheduler.lr)

@@ -86,3 +86,32 @@ class TestDeviceStore:
             H5Store(f).write_pianoroll(np.zeros((2, 860, 128)), np.zeros((2, 860, 128)))
         with pytest.raises(ValueError, match="store-audio"):
             DeviceDataStore(p)
+
+
+class TestResidentEval:
+    def test_evaluate_resident_weighted_exact_and_deterministic(self, audio_h5):
+        """Resident eval covers every chunk once (zero-weight padding) and
+        repeated calls return the identical loss (stable plateau signal)."""
+        tr = Trainer(TINY, TrainConfig(batch_size=2))
+        params, _ = tr.init_state(0)
+        store = DeviceDataStore(audio_h5 + "_test.hdf5")
+        seen = []
+        total_w = 0.0
+        for idx, cidx, style, weight in store.eval_epoch_indices(2):
+            seen.extend(np.asarray(idx)[np.asarray(weight) > 0].tolist())
+            total_w += float(np.sum(np.asarray(weight)))
+        assert sorted(seen) == list(range(store.n_data))
+        assert total_w == store.n_data
+        l1 = tr.evaluate_resident(store, params)
+        l2 = tr.evaluate_resident(store, params)
+        assert l1 == l2
+        assert np.isfinite(l1) and l1 > 0
+
+    def test_fit_device_resident_uses_resident_eval(self, audio_h5, tmp_path,
+                                                    monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        cfg = TrainConfig(epochs=1, test_freq=1, exp_name="dre", batch_size=2)
+        tr = Trainer(TINY, cfg)
+        tr.fit(audio_h5, device_resident=True)
+        out = capsys.readouterr().out
+        assert "Test set loss" in out and "(device-resident)" in out

@@ -106,3 +106,35 @@ class TestSynthesizer:
         r, o, c, t = synth.process_custom_midi_and_audio(midi_path, wav_path)
         assert c.shape == (860, 1025)
         assert np.all(np.isfinite(c))
+
+
+class TestReferenceCheckpointCompat:
+    def test_tar_checkpoint_forces_compat_mbr_noop(self, tmp_path, monkeypatch):
+        """Reference .tar checkpoints carry untrained MBR conv weights (the
+        reference MBRBlock discards torch.add's result, model.py:172), so
+        loading one must force compat_mbr_noop=True for output parity."""
+        monkeypatch.setattr(AudioSynthesizer, "_load_params",
+                            lambda self, p: {"params": {}})
+        synth = AudioSynthesizer(
+            str(tmp_path), "m.mid", "a.wav", model_cfg=TINY,
+            checkpoint_path=str(tmp_path / "checkpoint-5.tar"),
+        )
+        assert synth.model_cfg.compat_mbr_noop is True
+        assert synth.model.cfg.compat_mbr_noop is True
+        # msgpack checkpoints keep the caller's config untouched
+        synth2 = AudioSynthesizer(
+            str(tmp_path), "m.mid", "a.wav", model_cfg=TINY,
+            checkpoint_path=str(tmp_path / "checkpoint-5.msgpack"),
+        )
+        assert synth2.model_cfg.compat_mbr_noop is False
+
+    def test_best_checkpoint_falls_back_to_reference_tar(self, tmp_path):
+        """An unmodified reference experiment dir (checkpoint-{e}.tar +
+        hyperparams.json, train.py:202-208) resolves to the .tar."""
+        exp = ckpt.ExperimentState(1, 1, "ref")
+        exp.best_epoch = 3
+        exp.save(str(tmp_path))
+        open(tmp_path / "checkpoint-3.tar", "wb").close()
+        path, epoch = ckpt.best_checkpoint(str(tmp_path))
+        assert epoch == 3
+        assert path.endswith("checkpoint-3.tar")
