@@ -18,7 +18,7 @@ one normalization function serves both call sites — no behavioral divergence.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -130,11 +130,15 @@ class DownConv(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     slope: float = 0.01
     eps: float = 1e-5
+    # optional TP activation constraint (parallel/mesh.py:activation_constrainer):
+    # keeps the (wide) conv outputs channel-sharded on the model axis
+    constrain: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
-        x = leaky_relu(instance_norm(Conv1x3(self.features, self.compute_dtype)(x), self.eps), self.slope)
-        x = leaky_relu(instance_norm(Conv1x3(self.features, self.compute_dtype)(x), self.eps), self.slope)
+        c = self.constrain or (lambda v: v)
+        x = c(leaky_relu(instance_norm(Conv1x3(self.features, self.compute_dtype)(x), self.eps), self.slope))
+        x = c(leaky_relu(instance_norm(Conv1x3(self.features, self.compute_dtype)(x), self.eps), self.slope))
         before_pool = x
         if self.pooling:
             x = nn.max_pool(x, window_shape=(2,), strides=(2,))
@@ -183,6 +187,10 @@ class DenseConcat(nn.Module):
     features: int
     dropout_rate: float = 0.2
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # optional TP activation constraint: pins the fc1 hidden (the widest
+    # activation in the model, up to 1.5*4096 ch) to the model axis —
+    # Megatron column-parallel fc1 / row-parallel fc2 then never gather it
+    constrain: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, midi_embed, audio_embed, deterministic: bool = True):
@@ -191,6 +199,8 @@ class DenseConcat(nn.Module):
             axis=-1,
         )
         x = nn.relu(nn.Dense(self.intermediate, dtype=self.compute_dtype, param_dtype=jnp.float32)(x))
+        if self.constrain is not None:
+            x = self.constrain(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
         x = nn.relu(nn.Dense(self.features, dtype=self.compute_dtype, param_dtype=jnp.float32)(x))
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)

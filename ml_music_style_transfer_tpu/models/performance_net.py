@@ -26,7 +26,7 @@ from/to the reference's channel-first (B, C, T) layout at the public edge.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -59,6 +59,10 @@ class PerformanceNet(nn.Module):
     """Full dual-encoder conditioned U-Net (reference model.py:177-300)."""
 
     cfg: ModelConfig = ModelConfig()
+    # optional TP activation constraint (parallel/mesh.py:activation_constrainer):
+    # pins the wide activations (encoder conv outputs, DenseConcat hidden) to
+    # the mesh's model axis so GSPMD keeps them sharded between ops
+    tp_constrain: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x_midi, x_audio, cond, deterministic: bool = True):
@@ -78,19 +82,22 @@ class PerformanceNet(nn.Module):
         h = x_midi
         for i, feats in enumerate(midi_plan):
             pooling = i < cfg.depth - 1
-            h, before = down(feats, pooling, dtype, slope, eps, name=f"midi_down_{i}")(h)
+            h, before = down(feats, pooling, dtype, slope, eps,
+                             constrain=self.tp_constrain, name=f"midi_down_{i}")(h)
             midi_skips.append(before)
         a = x_audio
         for i, feats in enumerate(audio_plan):
             pooling = i < cfg.depth - 1
-            a, before = down(feats, pooling, dtype, slope, eps, name=f"audio_down_{i}")(a)
+            a, before = down(feats, pooling, dtype, slope, eps,
+                             constrain=self.tp_constrain, name=f"audio_down_{i}")(a)
             audio_skips.append(before)
 
         # --- bottleneck fusion (model.py:277)
         def dense(i):
             out_midi = midi_plan[-(i + 1)]
             return DenseConcat(int(out_midi * 1.5), out_midi,
-                               cfg.dropout_rate, dtype, name=f"dense_concat_{i}")
+                               cfg.dropout_rate, dtype,
+                               constrain=self.tp_constrain, name=f"dense_concat_{i}")
 
         x = dense(0)(h, a, deterministic)
 

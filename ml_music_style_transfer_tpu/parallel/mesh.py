@@ -92,3 +92,40 @@ def param_shardings(params, mesh: Mesh):
 def shard_params(params, mesh: Mesh):
     """device_put a param pytree according to the TP rules."""
     return jax.device_put(params, param_shardings(params, mesh))
+
+
+def activation_constrainer(mesh: Mesh | None):
+    """Channel-axis activation constraint for TP, or None on a 1-wide axis.
+
+    Returns f(x) = with_sharding_constraint(x, P(..., 'model')) pinning the
+    LAST (channel) dim of an activation to the model axis. Applied to the
+    wide activations (DenseConcat hidden, encoder conv block outputs) so
+    GSPMD keeps them sharded instead of gathering between ops — per-device
+    activation memory then scales ~1/model_size. Dims not divisible by the
+    axis are left unconstrained (GSPMD would reject them).
+    """
+    if mesh is None:
+        return None
+    size = dict(mesh.shape).get("model", 1)
+    if size <= 1:
+        return None
+
+    def constrain(x):
+        if x.shape[-1] % size != 0:
+            return x
+        spec = P(*([None] * (x.ndim - 1) + ["model"]))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return constrain
+
+
+def per_device_param_bytes(params) -> tuple[int, int]:
+    """(per_device_bytes, total_bytes) for a sharded param pytree."""
+    import math
+
+    per_dev = total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        total += leaf.nbytes
+        shard_shape = leaf.sharding.shard_shape(leaf.shape)
+        per_dev += math.prod(shard_shape) * leaf.dtype.itemsize
+    return per_dev, total

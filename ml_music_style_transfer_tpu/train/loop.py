@@ -85,7 +85,10 @@ class Trainer:
             n_dev = train_cfg.mesh_shape[0] * train_cfg.mesh_shape[1]
             mesh = pmesh.make_mesh(*train_cfg.mesh_shape, devices=jax.devices()[:n_dev])
         self.mesh = mesh
-        self.model = PerformanceNet(model_cfg)
+        # on a TP mesh, pin wide activations to the model axis (identity on 1-wide)
+        self.model = PerformanceNet(
+            model_cfg, tp_constrain=pmesh.activation_constrainer(mesh)
+        )
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=train_cfg.learning_rate)
         self.scheduler = ReduceLROnPlateau(lr=train_cfg.learning_rate)
         self.exp_root = exp_root
