@@ -29,6 +29,11 @@ def main(argv=None) -> None:
     p.add_argument("--checkpoint", type=str, default=None,
                    help="explicit checkpoint path (.msgpack or reference .tar); "
                         "default resolves via hyperparams.json best_epoch")
+    p.add_argument("--cond-mode", choices=("aligned", "center"), default="aligned",
+                   help="'aligned': each MIDI tile conditions on the audio at "
+                        "its own time position (whole-clip semantics, as the "
+                        "reference feeds the full spec, inference.py:55-62); "
+                        "'center': one center 5s crop broadcast to all tiles")
     args = p.parse_args(argv)
 
     exp_dir = os.path.join(os.path.abspath("./experiments"), args.exp_name)
@@ -38,7 +43,7 @@ def main(argv=None) -> None:
                               compat_mbr_noop=args.compat_mbr_noop),
         checkpoint_path=args.checkpoint,
     )
-    outs = synth.inference(n_iter=args.n_iter)
+    outs = synth.inference(n_iter=args.n_iter, cond_mode=args.cond_mode)
     for o in outs:
         print(f"wrote {o}")
 

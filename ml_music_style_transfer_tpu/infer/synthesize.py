@@ -83,20 +83,37 @@ class AudioSynthesizer:
             jax.eval_shape(self.model.init, jax.random.PRNGKey(0), *dummy)
         )
         template = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), template)
-        state = ckpt.restore_checkpoint(path, {"params": template})  # ignores extra keys
+        if path.endswith(".orbax"):
+            state = {"params": ckpt.restore_checkpoint_sharded_host(path)["params"]}
+        else:
+            state = ckpt.restore_checkpoint(path, {"params": template})  # ignores extra keys
         return jax.device_put(state["params"])
 
     # ---- input processing (reference inference.py:37-71, deduplicated) --
     def process_custom_midi_and_audio(self, midi_path: str, audio_path: str,
-                                      overlap: bool = True):
-        """MIDI -> chunked (N,860,128) roll/onoff; audio -> (860,1025) cond spec.
+                                      overlap: bool = True,
+                                      cond_mode: str = "aligned"):
+        """MIDI -> chunked (N,860,128) roll/onoff; audio -> conditioning spec.
 
         ``overlap=True`` tiles with 50% overlap; predictions are later
         crossfade-blended (predict_spectrogram), avoiding seams at chunk
         boundaries. (The reference runs arbitrary-length clips in one eager
         pass, inference.py:37-84; XLA's static shapes make tiling the
         TPU-native equivalent — blending recovers the seamless behavior.)
+
+        ``cond_mode`` controls how the conditioning audio is presented:
+          - "aligned" (default): the reference feeds the WHOLE clip's
+            spectrogram to the audio encoder, however long
+            (inference.py:55-62, forwarded unchunked at :82-84), so every
+            part of the timbre source influences the output. Statically
+            shaped equivalent: each MIDI tile gets the 860-frame cond chunk
+            at ITS OWN time position, cyclically extending the audio when it
+            is shorter than the MIDI. Returns cond shaped (N, 860, 1025).
+          - "center": round-1 fallback — one center crop broadcast to all
+            tiles (discards timbre beyond the middle 5 s). (860, 1025).
         """
+        if cond_mode not in ("aligned", "center"):
+            raise ValueError(f"cond_mode must be 'aligned' or 'center', got {cond_mode!r}")
         hp = self.hp
         mf = midi_parser.load(midi_path)
         roll, onoff = pr.vectorize_notes(mf.notes, hp.wps)
@@ -122,12 +139,21 @@ class AudioSynthesizer:
 
         audio, _ = audio_io.read_wav(audio_path, sr=hp.sr)
         spec = np.asarray(jstft.log_power_stft(jnp.asarray(audio), hp.n_fft, hp.ws)).T  # (T,1025)
-        # conditioning chunk: center 860 frames (repeat if shorter)
-        if spec.shape[0] < win:
-            reps = -(-win // spec.shape[0])
-            spec = np.tile(spec, (reps, 1))
-        start = (spec.shape[0] - win) // 2
-        cond = spec[start : start + win].astype(np.float32)
+        if cond_mode == "center":
+            # center 860 frames (repeat if shorter), broadcast to every tile
+            if spec.shape[0] < win:
+                reps = -(-win // spec.shape[0])
+                spec = np.tile(spec, (reps, 1))
+            start = (spec.shape[0] - win) // 2
+            cond = spec[start : start + win].astype(np.float32)
+        else:
+            # per-tile aligned chunks: cyclically extend the cond spec to
+            # cover the last tile, then slice at each tile's own start
+            need = starts[-1] + win
+            if spec.shape[0] < need:
+                reps = -(-need // spec.shape[0])
+                spec = np.tile(spec, (reps, 1))
+            cond = np.stack([spec[s : s + win] for s in starts]).astype(np.float32)
         return roll_chunks, onoff_chunks, cond, t_total
 
     # ---- synthesis ------------------------------------------------------
@@ -138,7 +164,11 @@ class AudioSynthesizer:
         crossfade-blended with triangular weights, so chunk seams are smooth.
         """
         n, win = roll_chunks.shape[:2]
-        cond_b = jnp.broadcast_to(jnp.asarray(cond), (n,) + cond.shape)
+        cond = np.asarray(cond)
+        if cond.ndim == 2:  # one chunk broadcast to all tiles (center mode)
+            cond_b = jnp.broadcast_to(jnp.asarray(cond), (n,) + cond.shape)
+        else:  # per-tile aligned conditioning (N, 860, 1025)
+            cond_b = jnp.asarray(cond)
         pred = np.asarray(
             jax.jit(lambda p, m, a, c: self.model.apply(p, m, a, c, deterministic=True))(
                 self.params, jnp.asarray(roll_chunks), cond_b, jnp.asarray(onoff_chunks)
@@ -155,12 +185,64 @@ class AudioSynthesizer:
             den[s : s + win] += wgt
         return (num / np.maximum(den, 1e-9))[:t_total]
 
+    # ---- whole-clip one-pass path (time-sharded across a mesh) ----------
+    def process_whole_clip(self, midi_path: str, audio_path: str):
+        """Unchunked inputs for the one-pass forward: roll/onoff (T,128) and
+        cond spec (T,1025) cyclically extended/cropped to the MIDI's frame
+        count (the reference forwards whole clips in one pass and needs the
+        two branches' lengths to agree, model/inference.py:82-84)."""
+        hp = self.hp
+        mf = midi_parser.load(midi_path)
+        roll, onoff = pr.vectorize_notes(mf.notes, hp.wps)
+        t_total = roll.shape[0]
+        audio, _ = audio_io.read_wav(audio_path, sr=hp.sr)
+        spec = np.asarray(jstft.log_power_stft(jnp.asarray(audio), hp.n_fft, hp.ws)).T
+        if spec.shape[0] < t_total:
+            reps = -(-t_total // spec.shape[0])
+            spec = np.tile(spec, (reps, 1))
+        return (roll.astype(np.float32), onoff.astype(np.float32),
+                spec[:t_total].astype(np.float32), t_total)
+
+    def predict_spectrogram_whole_clip(self, roll, onoff, cond_spec, t_total,
+                                       mesh=None, axis_name="time") -> np.ndarray:
+        """ONE fully-convolutional forward over the entire clip — the
+        reference's inference semantics (model/inference.py:82-84: arbitrary
+        length, no tiling, InstanceNorm statistics spanning the whole clip) —
+        with the time axis sharded over ``mesh`` (parallel/time_shard.py).
+
+        Scales past one chip's HBM for long clips; on a 1-device mesh it is
+        the degenerate single-chip whole-clip forward. Returns
+        (t_out, n_bins); t_out follows the net's temporal ladder (which for
+        non-860-frame inputs differs slightly from t_total, as it does in
+        the reference)."""
+        from jax.sharding import Mesh
+        from ..parallel import time_shard as tsh
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), (axis_name,))
+        key = (t_total, axis_name, tuple(mesh.shape.items()))
+        if getattr(self, "_ts_cache_key", None) != key:
+            self._ts_fn, self._ts_pad, self._ts_out = tsh.make_time_sharded_forward(
+                self.model_cfg, mesh, t_total, axis_name=axis_name)
+            self._ts_cache_key = key
+        t_pad = self._ts_pad
+
+        def pad_shard(a):
+            p = np.zeros((1, t_pad, a.shape[-1]), np.float32)
+            p[:, : a.shape[0]] = a
+            return tsh.shard_time(jnp.asarray(p), mesh, axis_name)
+
+        out = self._ts_fn(jax.device_get(self.params), pad_shard(roll),
+                          pad_shard(cond_spec), pad_shard(onoff))
+        return np.asarray(out)[0, : self._ts_out]
+
     def inference(self, n_iter: int = 300, output_dir: str | None = None,
-                  overlap: bool = True) -> list[str]:
+                  overlap: bool = True, cond_mode: str = "aligned") -> list[str]:
         """Full path (reference inference.py:74-91): predict spec -> Griffin-Lim
         on device -> write output-{i}.wav into an auto-numbered directory."""
         chunks = self.process_custom_midi_and_audio(
-            self.midi_source, self.audio_source, overlap=overlap
+            self.midi_source, self.audio_source, overlap=overlap,
+            cond_mode=cond_mode,
         )
         print("Inferencing spectrogram......")
         spec = self.predict_spectrogram(*chunks)

@@ -33,16 +33,16 @@ def _ring_perm(n: int, shift: int):
     return [(i, (i + shift) % n) for i in range(n)]
 
 
-def halo_exchange(x_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Append 1-frame halos from ring neighbors to a (B, T_loc, C) shard.
+def halo_exchange(x_local: jnp.ndarray, axis_name: str, h: int = 1) -> jnp.ndarray:
+    """Append h-frame halos from ring neighbors to a (B, T_loc, C) shard.
 
-    Returns (B, T_loc + 2, C); the first/last global shard gets zero halos
+    Returns (B, T_loc + 2h, C); the first/last global shard gets zero halos
     (matching conv1x3's zero padding at sequence edges).
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    left_edge = x_local[:, :1, :]
-    right_edge = x_local[:, -1:, :]
+    left_edge = x_local[:, :h, :]
+    right_edge = x_local[:, -h:, :]
     # my left halo = right edge of my left neighbor (shard idx-1)
     from_left = jax.lax.ppermute(right_edge, axis_name, _ring_perm(n, 1))
     # my right halo = left edge of my right neighbor (shard idx+1)
@@ -98,3 +98,297 @@ def make_sharded_conv_block(mesh: Mesh, axis_name: str = "data",
 def shard_time(x: jnp.ndarray, mesh: Mesh, axis_name: str = "data"):
     """device_put a (B, T, C) array sharded along time."""
     return jax.device_put(x, NamedSharding(mesh, P(None, axis_name, None)))
+
+
+# ---------------------------------------------------------------------------
+# Full-model time sharding: every PerformanceNet block, plus a one-pass
+# whole-clip forward (the reference's inference semantics, model/inference.py
+# :82-84, with the TIME axis sharded across chips instead of tiled).
+#
+# Design: each shard holds an equal contiguous time slice of a PADDED clip
+# (T_pad % (n_shards * 16) == 0 so 4 levels of MaxPool(2) stay local), while
+# the true frame count ("valid length") of every intermediate is tracked as
+# static Python shape math — exactly the reference's odd temporal ladder
+# (t -> t//2.. -> 2t+k-4 ..). Positions beyond the valid length are kept
+# zero-masked, which makes conv edge padding, pooling, and the transposed
+# convs' implicit zero-extension exact. Cross-shard data motion is explicit:
+# ppermute halos for conv receptive fields, psum for global-T InstanceNorm
+# statistics, ppermute shifts for crop_and_concat's center-crop arithmetic.
+# All collectives are nearest-neighbor or reductions -> they ride ICI.
+# ---------------------------------------------------------------------------
+
+
+def _valid_mask(t_loc: int, t_valid: int, axis_name: str, dtype) -> jnp.ndarray:
+    """(1, T_loc, 1) mask of global positions < t_valid for this shard."""
+    pos = jax.lax.axis_index(axis_name) * t_loc + jnp.arange(t_loc)
+    return (pos < t_valid).astype(dtype)[None, :, None]
+
+
+def _mask(x: jnp.ndarray, t_valid: int, axis_name: str) -> jnp.ndarray:
+    return x * _valid_mask(x.shape[1], t_valid, axis_name, x.dtype)
+
+
+def _lrelu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _shift_right(x: jnp.ndarray, s: int, axis_name: str) -> jnp.ndarray:
+    """Global right-shift by s frames (prepend s zeros): y[t] = x[t-s]."""
+    if s == 0:
+        return x
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    from_left = jax.lax.ppermute(x[:, -s:, :], axis_name, _ring_perm(n, 1))
+    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+    return jnp.concatenate([from_left, x[:, :-s, :]], axis=1)
+
+
+def _shift_left(x: jnp.ndarray, s: int, axis_name: str) -> jnp.ndarray:
+    """Global left-shift by s frames (drop the first s): y[t] = x[t+s]."""
+    if s == 0:
+        return x
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    from_right = jax.lax.ppermute(x[:, :s, :], axis_name, _ring_perm(n, -1))
+    from_right = jnp.where(idx == n - 1, jnp.zeros_like(from_right), from_right)
+    return jnp.concatenate([x[:, s:, :], from_right], axis=1)
+
+
+def _conv1x3_halo(x, w, b, axis_name):
+    """conv k=3 s=1 p=1 on a time-sharded masked input (models/layers.Conv1x3)."""
+    xh = halo_exchange(x, axis_name, 1)
+    y = jax.lax.conv_general_dilated(
+        xh, w.astype(x.dtype), window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(jnp.float32)
+
+
+def masked_instance_norm(x, t_valid: int, axis_name: str, eps: float = 1e-5):
+    """Global-T InstanceNorm over the valid prefix (two-pass, f32 statistics).
+
+    Matches models/layers.instance_norm on the unpadded array; the masked
+    tail comes out exactly zero ((0 - mean) * mask)."""
+    m = _valid_mask(x.shape[1], t_valid, axis_name, jnp.float32)
+    x32 = x.astype(jnp.float32) * m
+    mean = jax.lax.psum(jnp.sum(x32, axis=1, keepdims=True), axis_name) / t_valid
+    cen = (x32 - mean) * m
+    var = jax.lax.psum(jnp.sum(cen * cen, axis=1, keepdims=True), axis_name) / t_valid
+    return (cen * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _maxpool2(x):
+    """MaxPool(2) — local when T_loc is even (shard boundaries align)."""
+    b, t, c = x.shape
+    return x.reshape(b, t // 2, 2, c).max(axis=2)
+
+
+def _conv_transpose_s2(x, w, b, k: int, axis_name: str):
+    """torch ConvTranspose1d(kernel=k<=6, stride=2, padding=1) on a
+    time-sharded masked input (models/layers.ConvTranspose1dTorch).
+
+    Each shard emits its 2*T_loc slice of the global output (valid prefix
+    2*t_valid + k - 4). The input-dilated sequence D (D[2t]=x[t]) is built
+    locally from a 2-frame halo; output j = sum_m D[j-(k-2)+m] * flip(w)[m].
+    """
+    bsz, t, _ = x.shape
+    xe = halo_exchange(x, axis_name, 2)  # (B, T_loc+4, C)
+    d = jnp.stack([xe, jnp.zeros_like(xe)], axis=2).reshape(bsz, 2 * (t + 2 * 2), -1)
+    lo = 6 - k  # local offset of output 0's window start (halo = 2 frames = 4 dilated)
+    seg = d[:, lo : lo + 2 * t + k - 1, :]
+    y = jax.lax.conv_general_dilated(
+        seg, jnp.flip(w, 0).astype(x.dtype), window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(jnp.float32)
+
+
+def _conv_transpose_s1_k3(x, w, b, axis_name):
+    """torch ConvTranspose1d(kernel=3, stride=1, padding=1) == correlation
+    with the flipped kernel at p=1 (the lastconv head, model.py:242)."""
+    xh = halo_exchange(x, axis_name, 1)
+    y = jax.lax.conv_general_dilated(
+        xh, jnp.flip(w, 0).astype(x.dtype), window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b.astype(jnp.float32)
+
+
+def _crop_and_concat_sharded(up, t_up: int, bypass, t_by: int, axis_name: str):
+    """models/layers.crop_and_concat on time-sharded tensors: the center
+    crop/pad of the bypass is a global shift by the (static) crop amount."""
+    c = (t_by - t_up) // 2
+    if c > 0:
+        bypass = _shift_left(bypass, c, axis_name)
+    elif c < 0:
+        bypass = _shift_right(bypass, -c, axis_name)
+    bypass = _mask(bypass, t_up, axis_name)  # right-crop any leftover frame
+    return jnp.concatenate([up, bypass], axis=-1)
+
+
+def sharded_down_conv(p, x, t_valid: int, pooling: bool, axis_name: str,
+                      slope: float = 0.01, eps: float = 1e-5):
+    """Time-sharded DownConv (models/layers.DownConv; reference model.py:34-53).
+
+    ``p`` is the block's Flax param subtree. Returns
+    (pooled, t_pooled, before_pool, t_before)."""
+    for conv_name in ("Conv1x3_0", "Conv1x3_1"):
+        cp = p[conv_name]["Conv_0"]
+        x = _conv1x3_halo(x, cp["kernel"], cp["bias"], axis_name)
+        x = _lrelu(masked_instance_norm(x, t_valid, axis_name, eps), slope)
+    before, t_before = x, t_valid
+    if pooling:
+        x = _mask(_maxpool2(x), t_valid // 2, axis_name)
+        t_valid = t_valid // 2
+    return x, t_valid, before, t_before
+
+
+def sharded_up_conv(p, skip, t_skip: int, dec, t_dec: int, cond, t_cond: int,
+                    k: int, axis_name: str, slope: float = 0.01, eps: float = 1e-5):
+    """Time-sharded UpConv (models/layers.UpConv; reference model.py:56-90)."""
+    tp = p["ConvTranspose1dTorch_0"]
+    x = _conv_transpose_s2(dec, tp["kernel"], tp["bias"], k, axis_name)
+    t_up = 2 * t_dec + k - 4  # torch (T-1)*2 - 2 + k
+    x = _lrelu(masked_instance_norm(x, t_up, axis_name, eps), slope)
+    x = _crop_and_concat_sharded(x, t_up, skip, t_skip, axis_name)
+    cp = p["Conv1x3_0"]["Conv_0"]
+    x = _conv1x3_halo(x, cp["kernel"], cp["bias"], axis_name)
+    x = _lrelu(masked_instance_norm(x, t_up, axis_name, eps), slope)
+    if cond is not None:
+        x = _crop_and_concat_sharded(x, t_up, cond, t_cond, axis_name)
+    cp = p["Conv1x3_1"]["Conv_0"]
+    x = _conv1x3_halo(x, cp["kernel"], cp["bias"], axis_name)
+    x = _lrelu(masked_instance_norm(x, t_up, axis_name, eps), slope)
+    return x, t_up
+
+
+def sharded_dense_concat(p, midi, audio, t_valid: int, axis_name: str):
+    """Time-sharded DenseConcat (models/layers.DenseConcat; model.py:93-108).
+    Pointwise over T -> fully local; deterministic (no dropout: this is the
+    inference path). Audio embed concatenated first, as in the model."""
+    x = jnp.concatenate([audio, midi], axis=-1)
+    for dn in ("Dense_0", "Dense_1"):
+        x = jnp.maximum(x @ p[dn]["kernel"] + p[dn]["bias"], 0.0)
+        x = _mask(x, t_valid, axis_name)  # relu(bias) leaks into the pad tail
+    return x
+
+
+def sharded_mbr_block(p, x, t_valid: int, num_bands: int, compat_noop: bool,
+                      axis_name: str, slope: float = 0.01, eps: float = 1e-5):
+    """Time-sharded MBRBlock (models/layers.MBRBlock; model.py:143-174)."""
+    if compat_noop:
+        return x * 2.0
+    band = x.shape[-1] // num_bands
+    outs = []
+    for i in range(num_bands):
+        bnd = x[..., i * band : (i + 1) * band]
+        cp = p[f"conv1_{i}"]["Conv_0"]
+        t = _conv1x3_halo(bnd, cp["kernel"], cp["bias"], axis_name)
+        t = _lrelu(masked_instance_norm(t, t_valid, axis_name, eps), slope)
+        cp = p[f"conv2_{i}"]["Conv_0"]
+        t = _conv1x3_halo(t, cp["kernel"], cp["bias"], axis_name)
+        outs.append(masked_instance_norm(t, t_valid, axis_name, eps))
+    return x + jnp.concatenate(outs, axis=-1)
+
+
+def time_sharded_output_length(t_valid: int, depth: int = 5) -> int:
+    """The net's output frame count for a t_valid-frame input (pure shape
+    math, mirrors models/performance_net.temporal_ladder)."""
+    t = t_valid
+    for _ in range(depth - 1):
+        t //= 2
+    for k in (6, 4, 3, 2):
+        t = 2 * t + k - 4
+    return t
+
+
+def padded_length(t_valid: int, n_shards: int, depth: int = 5) -> int:
+    """Smallest padded clip length usable with n_shards: divisible by
+    n_shards * 2^(depth-1) (pooling stays shard-local) with >= 16 frames of
+    headroom (the k=6 upconv's +2 frames at the deepest level) and enough
+    frames per shard at the deepest level for 2-frame halos / 6-frame shifts.
+    """
+    unit = n_shards * 2 ** (depth - 1)
+    t_pad = -(-(t_valid + 16) // unit) * unit
+    return max(t_pad, 48 * n_shards)
+
+
+def make_time_sharded_forward(cfg, mesh: Mesh, t_valid: int, axis_name: str = "time"):
+    """Build a jitted one-pass whole-clip PerformanceNet forward with the
+    time axis sharded over ``mesh``'s ``axis_name``.
+
+    This is the reference's inference semantics — the ENTIRE midi roll /
+    onoff / conditioning spectrogram in a single fully-convolutional forward
+    (model/inference.py:82-84), rather than 860-frame tiles — scaled past
+    one chip's memory by sharding T. InstanceNorm statistics span the whole
+    clip exactly as they do in the reference.
+
+    Returns (fn, t_pad, t_out): call ``fn(variables, midi, audio, cond)``
+    with (B, t_pad, C) arrays (zero-padded past t_valid; shard with
+    shard_time for multi-chip placement); output is (B, t_pad, n_bins) with
+    frames [0, t_out) valid.
+    """
+    n = mesh.shape[axis_name]
+    t_pad = padded_length(t_valid, n, cfg.depth)
+    t_out = time_sharded_output_length(t_valid, cfg.depth)
+    slope, eps = cfg.leaky_relu_slope, cfg.instance_norm_eps
+
+    def forward_local(variables, xm, xa, xc):
+        p = variables["params"]
+        # --- encoders, collecting (before_pool, valid) skips
+        midi_skips, audio_skips = [], []
+        h, t = xm, t_valid
+        for i in range(cfg.depth):
+            pooling = i < cfg.depth - 1
+            h, t, before, tb = sharded_down_conv(
+                p[f"midi_down_{i}"], h, t, pooling, axis_name, slope, eps)
+            midi_skips.append((before, tb))
+        a, ta = xa, t_valid
+        for i in range(cfg.depth):
+            pooling = i < cfg.depth - 1
+            a, ta, before, tb = sharded_down_conv(
+                p[f"audio_down_{i}"], a, ta, pooling, axis_name, slope, eps)
+            audio_skips.append((before, tb))
+        assert t == ta, (t, ta)
+
+        # --- bottleneck fusion
+        x = sharded_dense_concat(p["dense_concat_0"], h, a, t, axis_name)
+
+        # --- onset/offset conditions (last two pooled maps)
+        conds = []
+        oc, tc = xc, t_valid
+        for i in range(cfg.onset_encoder_depth):
+            oc, tc, _, _ = sharded_down_conv(
+                p["onset_offset_encoder"][f"down_{i}"], oc, tc, True,
+                axis_name, slope, eps)
+            if i > cfg.onset_encoder_depth - 3:
+                conds.append((oc, tc))
+
+        # --- decoder (cond indexing quirk: [i-1] => [-1] then [0])
+        t_dec = t
+        for i, (k, has_cond) in enumerate(zip((6, 4, 3, 2), (True, True, False, False))):
+            skip_m, ts = midi_skips[-(i + 2)]
+            skip_a, _ = audio_skips[-(i + 2)]
+            skip = sharded_dense_concat(p[f"dense_concat_{i+1}"], skip_m, skip_a, ts, axis_name)
+            ci, tci = conds[i - 1] if has_cond else (None, 0)
+            x, t_dec = sharded_up_conv(
+                p[f"up_{i}"], skip, ts, x, t_dec, ci, tci, k, axis_name, slope, eps)
+
+        # --- multi-band residuals + head
+        for j, bands in enumerate((2, 4, 8, 16)):
+            x = sharded_mbr_block(p[f"mbr_{j}"], x, t_dec, bands,
+                                  cfg.compat_mbr_noop, axis_name, slope, eps)
+        lp = p["lastconv"]
+        x = _conv_transpose_s1_k3(x, lp["kernel"], lp["bias"], axis_name)
+        return _mask(_lrelu(x, slope), t_dec, axis_name).astype(jnp.float32)
+
+    spec = P(None, axis_name, None)
+    fn = shard_map(
+        forward_local, mesh=mesh,
+        in_specs=(P(), spec, spec, spec),
+        out_specs=spec,
+    )
+    return jax.jit(fn), t_pad, t_out

@@ -65,7 +65,11 @@ class TestSynthesizer:
         r, o, c, t_total = synth.process_custom_midi_and_audio(midi_path, wav_path,
                                                                overlap=False)
         assert r.shape[0] == 2 and r.shape[1:] == (860, 128)  # 1376 -> 2 tiles
-        assert c.shape == (860, 1025)
+        assert c.shape == (2, 860, 1025)  # aligned: one cond chunk per tile
+        # center fallback: a single chunk broadcast to all tiles
+        *_, c_center, _ = synth.process_custom_midi_and_audio(
+            midi_path, wav_path, overlap=False, cond_mode="center")
+        assert c_center.shape == (860, 1025)
         # overlap mode uses 50%-hop tiles for crossfade blending
         r2, *_ = synth.process_custom_midi_and_audio(midi_path, wav_path, overlap=True)
         starts = synth._chunk_starts
@@ -104,8 +108,101 @@ class TestSynthesizer:
         audio_io.write_wav(wav_path, synthetic.render_notes(notes, "cuba", 44100, 1.0), 44100)
         synth = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
         r, o, c, t = synth.process_custom_midi_and_audio(midi_path, wav_path)
-        assert c.shape == (860, 1025)
+        assert c.shape == (r.shape[0], 860, 1025)  # cyclically tiled + aligned
         assert np.all(np.isfinite(c))
+        c2 = synth.process_custom_midi_and_audio(midi_path, wav_path,
+                                                 cond_mode="center")[2]
+        assert c2.shape == (860, 1025)
+        assert np.all(np.isfinite(c2))
+
+
+class TestWholeClipConditioning:
+    """VERDICT #3: the reference feeds the ENTIRE conditioning clip's
+    spectrogram to the audio encoder (inference.py:55-62, forwarded unchunked
+    at :82-84) — timbre information beyond the center 5 s must reach the
+    output. 'aligned' mode restores that; 'center' mode (round-1 behavior)
+    must stay blind to it."""
+
+    def test_audio_beyond_center_chunk_influences_output(
+        self, fake_experiment, tmp_path
+    ):
+        rng = np.random.default_rng(21)
+        dur = 15.0  # ≈ 2580 frames, 3× the 860-frame center crop
+        notes = synthetic.random_song(rng, duration=dur)
+        midi_path = str(tmp_path / "long.mid")
+        midi_writer.save(midi_path, notes)
+
+        wav_a = synthetic.render_notes(notes, "cuba", 44100, dur)
+        # wav_b: identical in a centered region generously covering the
+        # center-crop's 860-frame STFT sample support (219,904 samples +
+        # n_fft bleed + frame-alignment slop), different timbre elsewhere
+        wav_b = synthetic.render_notes(notes, "harpsichord", 44100, dur)
+        n = len(wav_a)
+        same = 286720  # ~6.5 s, ≈33k samples of margin each side
+        center = slice((n - same) // 2, (n - same) // 2 + same)
+        wav_b[center] = wav_a[center]
+        pa, pb = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+        audio_io.write_wav(pa, wav_a, 44100)
+        audio_io.write_wav(pb, wav_b, 44100)
+
+        synth = AudioSynthesizer(fake_experiment, midi_path, pa, model_cfg=TINY)
+
+        def predict(audio_path, mode):
+            chunks = synth.process_custom_midi_and_audio(
+                midi_path, audio_path, overlap=False, cond_mode=mode)
+            return synth.predict_spectrogram(*chunks)
+
+        # aligned: the differing out-of-center audio must change the output
+        out_a = predict(pa, "aligned")
+        out_b = predict(pb, "aligned")
+        assert np.abs(out_a - out_b).max() > 1e-4
+
+        # center: blind beyond the middle 860 frames (STFT window bleed at
+        # the crop edges is < one frame; compare away from the exact edges)
+        ca = predict(pa, "center")
+        cb = predict(pb, "center")
+        np.testing.assert_allclose(ca, cb, atol=1e-5)
+
+    def test_aligned_cond_tracks_tile_position(self, fake_experiment, user_inputs):
+        """Each tile's cond chunk is the spec at that tile's own start."""
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path,
+                                 model_cfg=TINY)
+        r, o, c, t = synth.process_custom_midi_and_audio(
+            midi_path, wav_path, overlap=True)
+        starts = synth._chunk_starts
+        assert c.shape[0] == len(starts)
+        if len(starts) > 1:
+            # different tiles see different conditioning content
+            assert np.abs(c[0] - c[-1]).max() > 1e-6
+
+
+class TestWholeClipOnePass:
+    """Time-sharded one-pass inference (reference model/inference.py:82-84:
+    the whole clip in a single forward, no tiling) must equal the
+    single-device unchunked Flax forward."""
+
+    def test_whole_clip_forward_matches_single_device(self, fake_experiment,
+                                                      user_inputs):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import Mesh
+        import jax.numpy as jnp
+
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path,
+                                 model_cfg=TINY)
+        roll, onoff, cond, t_total = synth.process_whole_clip(midi_path, wav_path)
+        assert roll.shape == (t_total, 128) and cond.shape == (t_total, 1025)
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("time",))
+        got = synth.predict_spectrogram_whole_clip(roll, onoff, cond, t_total,
+                                                   mesh=mesh)
+        want = np.asarray(synth.model.apply(
+            synth.params, jnp.asarray(roll[None]), jnp.asarray(cond[None]),
+            jnp.asarray(onoff[None])))[0]
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
 
 
 class TestReferenceCheckpointCompat:
