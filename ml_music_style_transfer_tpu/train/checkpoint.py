@@ -70,11 +70,93 @@ def restore_checkpoint(path: str, template: Any) -> Any:
         return serialization.from_bytes(template, f.read())
 
 
+# ---- orbax sharded/async checkpointing (SURVEY §5 target) ---------------
+#
+# The msgpack path above gathers every array to the host; past one host (or
+# once params shard across a mesh) that is both a scalability wall and a
+# step-blocking serialization. The orbax path writes each device's shards
+# directly (no host gather of the full tree), optionally asynchronously
+# (training continues while the previous checkpoint flushes), and restores
+# straight INTO a target sharding.
+
+_ASYNC_CKPTR = None
+
+
+def _orbax():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        ocp = _orbax()
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def sharded_checkpoint_path(exp_dir: str, epoch: int) -> str:
+    return os.path.abspath(os.path.join(exp_dir, f"checkpoint-{epoch}.orbax"))
+
+
+def save_checkpoint_sharded(exp_dir: str, epoch: int, state: Any,
+                            wait: bool = False) -> str:
+    """Write checkpoint-{epoch}.orbax asynchronously, per-shard.
+
+    Returns immediately (the flush happens on a background thread; the next
+    save/restore/wait_for_async_saves joins it). ``wait=True`` blocks."""
+    path = sharded_checkpoint_path(exp_dir, epoch)
+    ocp = _orbax()
+    ckptr = _async_checkpointer()
+    ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+    if wait:
+        ckptr.wait_until_finished()
+    return path
+
+
+def wait_for_async_saves() -> None:
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def restore_checkpoint_sharded(path: str, template: Any) -> Any:
+    """Restore an orbax checkpoint directly into ``template``'s shardings.
+
+    Template leaves that are jax.Arrays (or ShapeDtypeStructs) with a
+    ``.sharding`` restore as device arrays with that exact sharding — each
+    device reads only its own shard, no full host gather (the msgpack
+    restore's weakness). Non-array leaves pass through as concrete values.
+    """
+    ocp = _orbax()
+    wait_for_async_saves()
+
+    def abstr(x):
+        if hasattr(x, "sharding") and hasattr(x, "shape"):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    abstract = jax.tree_util.tree_map(abstr, template)
+    return _async_checkpointer().restore(
+        os.path.abspath(path), args=ocp.args.StandardRestore(abstract)
+    )
+
+
+def restore_checkpoint_sharded_host(path: str) -> Any:
+    """Restore an orbax checkpoint fully to host (numpy), no template needed
+    (shapes/dtypes come from the checkpoint's own metadata). Used by
+    inference, which only wants the params subtree."""
+    wait_for_async_saves()
+    return _async_checkpointer().restore(os.path.abspath(path))
+
+
 def latest_checkpoint(exp_dir: str) -> tuple[str, int] | None:
-    """(path, epoch) of the newest checkpoint in exp_dir, or None."""
+    """(path, epoch) of the newest checkpoint (msgpack or orbax) in exp_dir."""
     best = None
-    for p in glob.glob(os.path.join(exp_dir, "checkpoint-*.msgpack")):
-        m = re.search(r"checkpoint-(\d+)\.msgpack$", p)
+    for p in glob.glob(os.path.join(exp_dir, "checkpoint-*.msgpack")) + glob.glob(
+        os.path.join(exp_dir, "checkpoint-*.orbax")
+    ):
+        m = re.search(r"checkpoint-(\d+)\.(msgpack|orbax)$", p)
         if m:
             e = int(m.group(1))
             if best is None or e > best[1]:
@@ -93,7 +175,8 @@ def best_checkpoint(exp_dir: str) -> tuple[str, int]:
     exp = ExperimentState.load(exp_dir)
     path = checkpoint_path(exp_dir, exp.best_epoch)
     if not os.path.exists(path):
-        tar = os.path.join(exp_dir, f"checkpoint-{exp.best_epoch}.tar")
-        if os.path.exists(tar):
-            return tar, exp.best_epoch
+        for alt in (sharded_checkpoint_path(exp_dir, exp.best_epoch),
+                    os.path.join(exp_dir, f"checkpoint-{exp.best_epoch}.tar")):
+            if os.path.exists(alt):
+                return alt, exp.best_epoch
     return path, exp.best_epoch

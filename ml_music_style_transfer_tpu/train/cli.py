@@ -46,6 +46,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="park the train split in HBM and assemble batches on-device "
                         "(requires preprocessing --store-audio); removes the "
                         "host->device streaming bottleneck")
+    p.add_argument("--ckpt-format", choices=("msgpack", "orbax"), default="msgpack",
+                   help="'orbax': async per-shard checkpoint writes + "
+                        "restore-into-sharding on resume (no full host "
+                        "gather; the right choice on multi-chip meshes)")
     return p
 
 
@@ -70,7 +74,8 @@ def main(argv=None) -> None:
     Trainer(
         model_cfg, train_cfg, mesh=mesh,
         stream_dtype=jnp.bfloat16 if args.stream_bf16 else None,
-    ).fit(args.data_dir, resume=args.resume, device_resident=args.device_resident)
+    ).fit(args.data_dir, resume=args.resume, device_resident=args.device_resident,
+          checkpoint_format=args.ckpt_format)
 
 
 if __name__ == "__main__":

@@ -279,7 +279,7 @@ class Trainer:
 
     # ---- full fit (reference main(), train.py:173-208) ----------------
     def fit(self, data_dir: str, resume: bool = False, device_resident: bool = False,
-            device_audio_dtype=None):
+            device_audio_dtype=None, checkpoint_format: str = "msgpack"):
         """Train. ``device_resident=True`` parks the train split in HBM and
         assembles batches on-device (requires preprocessing --store-audio).
 
@@ -288,7 +288,15 @@ class Trainer:
         targets differ numerically from the float32 host-streamed path (the
         two modes optimize slightly different targets); pass jnp.float32 for
         exact parity when the dataset fits (see data/device_store.py).
+
+        ``checkpoint_format``: 'msgpack' (host-gathered flax bytes, the
+        round-1 format) or 'orbax' (async per-shard writes that never gather
+        the full tree to host, and resume restores straight into the mesh
+        shardings — the right choice on multi-chip meshes). Both keep the
+        reference's hyperparams.json best-epoch contract.
         """
+        if checkpoint_format not in ("msgpack", "orbax"):
+            raise ValueError(f"unknown checkpoint_format {checkpoint_format!r}")
         os.makedirs(self.exp_root, exist_ok=True)
         if not resume:
             os.makedirs(self.exp_dir)  # same error-on-exists semantics (train.py:183)
@@ -324,20 +332,28 @@ class Trainer:
             latest = ckpt.latest_checkpoint(self.exp_dir)
             if latest is not None:
                 path, epoch = latest
-                state = ckpt.restore_checkpoint(
-                    path, {"params": jax.device_get(params),
-                           "opt_state": jax.device_get(opt_state),
-                           "epoch": 0, "scheduler": self.scheduler.state_dict()})
-                params = pmesh.shard_params(state["params"], self.mesh)
-                # opt_state mirrors the param tree: reuse the shardings the
-                # freshly-initialized (sharded) opt_state already carries, so
-                # resumed state lands on the same device set as params and the
-                # donated train_step sees consistent placements on step one
-                opt_shardings = jax.tree_util.tree_map(
-                    lambda x: x.sharding if hasattr(x, "sharding") else self._repl,
-                    opt_state,
-                )
-                opt_state = jax.device_put(state["opt_state"], opt_shardings)
+                if path.endswith(".orbax"):
+                    # restore straight INTO the freshly-initialized sharded
+                    # buffers (params + opt_state) — no host gather
+                    state = ckpt.restore_checkpoint_sharded(
+                        path, {"params": params, "opt_state": opt_state,
+                               "epoch": 0, "scheduler": self.scheduler.state_dict()})
+                    params, opt_state = state["params"], state["opt_state"]
+                else:
+                    state = ckpt.restore_checkpoint(
+                        path, {"params": jax.device_get(params),
+                               "opt_state": jax.device_get(opt_state),
+                               "epoch": 0, "scheduler": self.scheduler.state_dict()})
+                    params = pmesh.shard_params(state["params"], self.mesh)
+                    # opt_state mirrors the param tree: reuse the shardings the
+                    # freshly-initialized (sharded) opt_state already carries, so
+                    # resumed state lands on the same device set as params and the
+                    # donated train_step sees consistent placements on step one
+                    opt_shardings = jax.tree_util.tree_map(
+                        lambda x: x.sharding if hasattr(x, "sharding") else self._repl,
+                        opt_state,
+                    )
+                    opt_state = jax.device_put(state["opt_state"], opt_shardings)
                 self.scheduler.load_state_dict(state["scheduler"])
                 exp = ckpt.ExperimentState.load(self.exp_dir)
                 start_epoch = state["epoch"]
@@ -374,14 +390,20 @@ class Trainer:
                 metrics.log("eval", epoch=epoch, test_loss=test_loss, lr=self.scheduler.lr)
                 if test_loss < exp.best_loss:
                     print("saving model")
-                    ckpt.save_checkpoint(
-                        self.exp_dir, epoch + 1,
-                        {"params": params, "opt_state": opt_state,
-                         "epoch": epoch + 1, "scheduler": self.scheduler.state_dict()},
-                    )
+                    state = {"params": params, "opt_state": opt_state,
+                             "epoch": epoch + 1,
+                             "scheduler": self.scheduler.state_dict()}
+                    if checkpoint_format == "orbax":
+                        # async per-shard write: training continues while the
+                        # previous checkpoint flushes in the background
+                        ckpt.save_checkpoint_sharded(self.exp_dir, epoch + 1, state)
+                    else:
+                        ckpt.save_checkpoint(self.exp_dir, epoch + 1, state)
                     exp.best_loss = test_loss
                     exp.best_epoch = epoch + 1
                     exp.save(self.exp_dir)
                     metrics.log("checkpoint", epoch=epoch + 1, best_loss=test_loss)
+        if checkpoint_format == "orbax":
+            ckpt.wait_for_async_saves()
         metrics.close()
         return params, exp
