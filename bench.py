@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64)  # measured sweet spot on v5e
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--skip-extras", action="store_true")
+    ap.add_argument("--adam-mu-dtype", choices=("float32", "bfloat16"), default=None,
+                    help="Adam first-moment dtype (see train/cli.py)")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +54,8 @@ def main():
 
     B, T = args.batch_size, 860
     model_cfg = ModelConfig(width_mult=args.width_mult)
-    trainer = Trainer(model_cfg, TrainConfig(batch_size=B))
+    trainer = Trainer(model_cfg, TrainConfig(batch_size=B,
+                                             adam_mu_dtype=args.adam_mu_dtype))
     params, opt_state = trainer.init_state(0)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"params: {n_params/1e6:.1f}M, width_mult={args.width_mult}")

@@ -148,6 +148,11 @@ class TrainConfig:
     # train.py:119-123 engel_loss sketch; README.md:22-23). Off by default —
     # default parity is L1 train / MSE eval (train.py:132, :158).
     spectral_loss_weight: float = 0.0
+    # Adam first-moment dtype: None keeps float32 (exact torch.optim.Adam
+    # parity, train.py:188); "bfloat16" halves the m-state's HBM bytes and
+    # its read+write traffic in the (HBM-bound) optimizer sweep — measured
+    # worthwhile on the 731.9M-param flagship where Adam is ~30 ms/step.
+    adam_mu_dtype: str | None = None
     # Mesh: (data, model) axis sizes; (1, 1) is the single-chip degenerate case.
     mesh_shape: Tuple[int, int] = (1, 1)
 

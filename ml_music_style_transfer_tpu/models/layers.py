@@ -46,6 +46,24 @@ def leaky_relu(x: jnp.ndarray, slope: float = 0.01) -> jnp.ndarray:
     return nn.leaky_relu(x, negative_slope=slope)
 
 
+def fast_dropout(x: jnp.ndarray, key: jax.Array, rate: float) -> jnp.ndarray:
+    """Dropout via the TPU hardware-PRNG Pallas kernel when on TPU, else the
+    standard threefry path.
+
+    XLA's threefry mask generation measured ~14 ms/step at batch 64 (the
+    largest non-matmul cost in the profiled train step, BASELINE.md); the
+    pallas kernel (ops/pallas/dropout.py) emits the mask at HBM-write speed.
+    Draws differ between the two paths (different PRNG), both honor the rate.
+    """
+    from ..ops import pallas as pk
+
+    if pk.on_tpu():
+        seed = jax.random.randint(key, (), -(2**31), 2**31 - 1, dtype=jnp.int32)
+        return x * pk.dropout.dropout_mask(seed, x.shape, rate, dtype=x.dtype)
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+
+
 def crop_and_concat(upsampled: jnp.ndarray, bypass: jnp.ndarray) -> jnp.ndarray:
     """Channel-concat after reconciling time lengths (reference model.py:71-78).
 
@@ -201,10 +219,14 @@ class DenseConcat(nn.Module):
         x = nn.relu(nn.Dense(self.intermediate, dtype=self.compute_dtype, param_dtype=jnp.float32)(x))
         if self.constrain is not None:
             x = self.constrain(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = self._dropout(x, deterministic)
         x = nn.relu(nn.Dense(self.features, dtype=self.compute_dtype, param_dtype=jnp.float32)(x))
-        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
-        return x
+        return self._dropout(x, deterministic)
+
+    def _dropout(self, x, deterministic: bool):
+        if deterministic or self.dropout_rate == 0.0:
+            return x
+        return fast_dropout(x, self.make_rng("dropout"), self.dropout_rate)
 
 
 class MBRBlock(nn.Module):

@@ -46,6 +46,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="park the train split in HBM and assemble batches on-device "
                         "(requires preprocessing --store-audio); removes the "
                         "host->device streaming bottleneck")
+    p.add_argument("--adam-mu-dtype", choices=("float32", "bfloat16"), default=None,
+                   help="Adam first-moment dtype; bfloat16 halves the m-state "
+                        "HBM traffic in the optimizer sweep (default float32 "
+                        "= exact torch.optim.Adam parity)")
     p.add_argument("--ckpt-format", choices=("msgpack", "orbax"), default="msgpack",
                    help="'orbax': async per-shard checkpoint writes + "
                         "restore-into-sharding on resume (no full host "
@@ -66,6 +70,7 @@ def main(argv=None) -> None:
         n_train_read=args.n_train_read, n_test_read=args.n_test_read,
         spectral_loss_weight=args.spectral_loss,
         mesh_shape=(args.mesh_data, args.mesh_model),
+        adam_mu_dtype=args.adam_mu_dtype,
     )
     mesh = pmesh.make_mesh(args.mesh_data, args.mesh_model) \
         if args.mesh_data * args.mesh_model > 1 else None

@@ -89,7 +89,10 @@ class Trainer:
         self.model = PerformanceNet(
             model_cfg, tp_constrain=pmesh.activation_constrainer(mesh)
         )
-        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=train_cfg.learning_rate)
+        mu_dtype = (jnp.dtype(train_cfg.adam_mu_dtype)
+                    if train_cfg.adam_mu_dtype else None)
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=train_cfg.learning_rate, mu_dtype=mu_dtype)
         self.scheduler = ReduceLROnPlateau(lr=train_cfg.learning_rate)
         self.exp_root = exp_root
         self.exp_dir = os.path.join(exp_root, train_cfg.exp_name)
