@@ -20,7 +20,10 @@ from . import stft as _stft
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iter", "hop_length", "win_length", "length", "momentum")
+    jax.jit,
+    static_argnames=(
+        "n_iter", "hop_length", "win_length", "length", "momentum", "use_pallas_glue"
+    ),
 )
 def griffinlim(
     magnitude: jnp.ndarray,
@@ -31,6 +34,7 @@ def griffinlim(
     momentum: float = 0.99,
     length: int | None = None,
     init_phase: jnp.ndarray | None = None,
+    use_pallas_glue: bool | None = None,
 ) -> jnp.ndarray:
     """Recover a waveform from a magnitude spectrogram.
 
@@ -58,15 +62,54 @@ def griffinlim(
     eps = jnp.float32(1.1754944e-38)
     mom = jnp.float32(momentum / (1.0 + momentum))
 
-    def body(_, carry):
-        angles, rebuilt_prev = carry
-        inverse = _stft.istft(
-            magnitude * angles, hop_length, win_length, length=length
+    # fused Pallas consistency glue (ops/pallas/gl_glue.py): one kernel for
+    # the window/OLA/NOLA/crop/pad/frame data movement between the FFTs,
+    # instead of ~10 HBM-materializing XLA HLOs per iteration. Auto-enabled
+    # on TPU for the single-clip inference shapes it supports.
+    if use_pallas_glue is None:
+        from . import pallas as _pk
+        from .pallas import gl_glue as _glue
+
+        use_pallas_glue = (
+            _pk.on_tpu()
+            and magnitude.ndim == 2
+            and length is None
+            and win_length == n_fft
+            and _glue.supported(magnitude.shape[-1], n_fft, hop_length)
         )
-        rebuilt = _stft.stft(inverse, n_fft, hop_length, win_length)
-        angles = rebuilt - mom * rebuilt_prev
-        angles = angles / (jnp.abs(angles) + eps)
-        return angles, rebuilt
+    if use_pallas_glue:
+        from .pallas import gl_glue as _glue
+
+        n_frames = magnitude.shape[-1]
+        window = jnp.asarray(_stft._window_const(n_fft, win_length))
+        inv_blocks = jnp.asarray(
+            _stft._wss_inv_const(n_fft, win_length, hop_length, n_frames).reshape(
+                n_frames + n_fft // hop_length - 1, hop_length
+            )
+        )
+
+        def body(_, carry):
+            angles, rebuilt_prev = carry
+            frames = jnp.fft.irfft(
+                jnp.swapaxes(magnitude * angles, -1, -2), n=n_fft, axis=-1
+            )
+            g = _glue.gl_consistency_frames(frames, window, inv_blocks)
+            rebuilt = jnp.swapaxes(jnp.fft.rfft(g, axis=-1), -1, -2)
+            angles = rebuilt - mom * rebuilt_prev
+            angles = angles / (jnp.abs(angles) + eps)
+            return angles, rebuilt
+
+    else:
+
+        def body(_, carry):
+            angles, rebuilt_prev = carry
+            inverse = _stft.istft(
+                magnitude * angles, hop_length, win_length, length=length
+            )
+            rebuilt = _stft.stft(inverse, n_fft, hop_length, win_length)
+            angles = rebuilt - mom * rebuilt_prev
+            angles = angles / (jnp.abs(angles) + eps)
+            return angles, rebuilt
 
     rebuilt0 = jnp.zeros_like(angles)
     angles, _ = jax.lax.fori_loop(0, n_iter, body, (angles, rebuilt0))
