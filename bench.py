@@ -32,8 +32,13 @@ def main():
     ap.add_argument("--batch-size", type=int, default=64)  # measured sweet spot on v5e
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--skip-extras", action="store_true")
-    ap.add_argument("--adam-mu-dtype", choices=("float32", "bfloat16"), default=None,
-                    help="Adam first-moment dtype (see train/cli.py)")
+    ap.add_argument("--adam-mu-dtype", choices=("float32", "bfloat16"),
+                    default="bfloat16",
+                    help="Adam first-moment dtype. The bench measures the "
+                         "recommended fast configuration (bfloat16, ~9 ms/step "
+                         "saved, convergence-parity tested in "
+                         "tests/test_train.py); pass float32 for exact "
+                         "torch.optim.Adam numerics (the Trainer default)")
     args = ap.parse_args()
 
     import jax
@@ -143,6 +148,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "step_time_ms": round(step_time * 1e3, 2),
         "batch_size": B,
+        "adam_mu_dtype": args.adam_mu_dtype or "float32",
         "params_m": round(n_params / 1e6, 1),
         "device": str(dev),
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},

@@ -127,6 +127,43 @@ class TestPreprocessE2E:
         assert len(wavs) == 2 and len(mids) == 2
 
 
+class TestBatchAssembly:
+    def test_per_item_style_pairing(self, synth_dir, tmp_path):
+        """Style/cond pairing is PER ITEM, not per batch (reference
+        Dataseth5py.__getitem__, train.py:88-91): each item independently
+        draws a style; target is that style's spec at the item's index and
+        cond is the SAME style's spec at a random index. Per-batch style
+        would remove the within-batch contrast that forces the model to read
+        timbre from the conditioning audio (measured to collapse the audio
+        branch on the synthetic two-style task)."""
+        from ml_music_style_transfer_tpu.data.dataset import ChunkDataset
+        out = pp.get_data(synth_dir, str(tmp_path / "asm"), "train",
+                          song_ids=[101, 202], styles=["cuba", "upright"])
+        ds = ChunkDataset(out, seed=0)
+        idx = np.arange(min(8, ds.n_data))
+        styles_seen_across_batches = set()
+        for trial in range(4):
+            batch = ds.assemble(idx)
+            item_styles = []
+            for j, i in enumerate(idx):
+                matches = [s for s in ds.styles
+                           if np.array_equal(batch["target"][j], ds.specs[s][i])]
+                assert matches, f"item {j}: target is not any style's spec at idx"
+                s = matches[0]
+                item_styles.append(s)
+                # cond must be some chunk of the SAME style
+                assert any(np.array_equal(batch["cond"][j], row)
+                           for row in ds.specs[s]), \
+                    f"item {j}: cond not drawn from target style {s}"
+            styles_seen_across_batches.update(item_styles)
+            if len(set(item_styles)) > 1:
+                break
+        else:
+            pytest.fail("no batch mixed styles across 4 seeded trials — "
+                        "style draw looks per-batch, not per-item")
+        assert styles_seen_across_batches == set(ds.styles)
+
+
 class TestMusicNetCuration:
     def test_piano_filter(self, tmp_path, monkeypatch):
         labels = tmp_path / "train_labels"

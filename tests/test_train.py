@@ -71,6 +71,29 @@ class TestTrainStep:
         l4 = float(tr.eval_step(params, b4))
         assert abs(l2 - l4) < 1e-5
 
+    def test_adam_mu_bf16_convergence_parity(self):
+        """--adam-mu-dtype bfloat16 (the bench.py fast configuration) must
+        track the float32-mu trajectory: same overfit curve within a few
+        percent. Justifies benchmarking with the bf16-mu flag on."""
+        curves = {}
+        for mu in (None, "bfloat16"):
+            tr = Trainer(TINY, TrainConfig(batch_size=2, learning_rate=1e-3,
+                                           adam_mu_dtype=mu))
+            params, opt_state = tr.init_state(0)
+            batch = tiny_batch()
+            rng = jax.random.PRNGKey(0)
+            losses = []
+            for _ in range(25):
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = tr.train_step(params, opt_state, batch, sub)
+                losses.append(float(loss))
+            curves[mu] = losses
+        f32, bf16 = np.asarray(curves[None]), np.asarray(curves["bfloat16"])
+        assert bf16[-1] < bf16[0] * 0.7, bf16  # converges at all
+        # trajectory parity: mean relative gap over the curve is small
+        rel = np.abs(bf16 - f32) / np.maximum(np.abs(f32), 1e-6)
+        assert float(rel.mean()) < 0.05, (rel.mean(), f32[-5:], bf16[-5:])
+
     def test_spectral_loss_option(self):
         cfg = TrainConfig(batch_size=2, spectral_loss_weight=0.1)
         tr = Trainer(TINY, cfg)
