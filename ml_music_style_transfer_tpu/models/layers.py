@@ -47,17 +47,21 @@ def leaky_relu(x: jnp.ndarray, slope: float = 0.01) -> jnp.ndarray:
 
 
 def fast_dropout(x: jnp.ndarray, key: jax.Array, rate: float) -> jnp.ndarray:
-    """Dropout via the TPU hardware-PRNG Pallas kernel when on TPU, else the
-    standard threefry path.
+    """Dropout via the TPU hardware-PRNG Pallas kernel when on a single-chip
+    TPU, else the standard threefry path.
 
     XLA's threefry mask generation measured ~14 ms/step at batch 64 (the
     largest non-matmul cost in the profiled train step, BASELINE.md); the
     pallas kernel (ops/pallas/dropout.py) emits the mask at HBM-write speed.
     Draws differ between the two paths (different PRNG), both honor the rate.
+    Multi-device programs keep the threefry path: a pallas_call on an
+    activation sharded over the mesh's model axis has no GSPMD partitioning
+    rule, so XLA would insert an all-gather around it (or reject it) —
+    strictly worse than the mask chain it replaces.
     """
     from ..ops import pallas as pk
 
-    if pk.on_tpu():
+    if pk.on_tpu() and len(jax.devices()) == 1:
         seed = jax.random.randint(key, (), -(2**31), 2**31 - 1, dtype=jnp.int32)
         return x * pk.dropout.dropout_mask(seed, x.shape, rate, dtype=x.dtype)
     keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)

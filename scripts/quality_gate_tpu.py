@@ -1,0 +1,178 @@
+"""Full-scale trained-model quality gate on the real TPU.
+
+Trains the flagship-width PerformanceNet on a synthetic two-style dataset
+(device-resident path — only index vectors cross the slow host link) and
+asserts the LEARNED style transfer works at realistic capacity:
+
+  - style discrimination on a held-out chunk: prediction conditioned on
+    style A audio (of a different chunk — right timbre, wrong notes) is
+    closer (L1) to the style-A target than to the style-B target, and vice
+    versa (reference training trick: model/train.py:78-91; the reference
+    itself has only human listening, tests/test_griffinlim.py)
+  - Griffin-Lim invertibility floor on the predicted spectrogram
+
+The CPU-mesh test suite runs the same assertions at width 1/16
+(tests/test_quality_gate.py) where the style-discrimination margin is NOT
+reachable: diagnostics show the tiny decoder learns to null the audio-derived
+dims (the conditioning chunk's wrong-note content is noise it cannot separate
+from timbre at that capacity), even with per-item style pairing, MSE loss, no
+dropout, or oracle conditioning. Capacity is the missing ingredient — hence
+this full-width gate runs where full width is cheap: the TPU.
+
+Writes QUALITY_GATE_TPU.json at the repo root.
+
+Usage: python scripts/quality_gate_tpu.py [--width-mult 1.0] [--epochs 300]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width-mult", type=float, default=1.0)
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mmst_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from ml_music_style_transfer_tpu.config import ModelConfig, TrainConfig, DEFAULT_DSP
+    from ml_music_style_transfer_tpu.data import preprocess as pp
+    from ml_music_style_transfer_tpu.data.device_store import DeviceDataStore
+    from ml_music_style_transfer_tpu.ops import griffinlim as jgl
+    from ml_music_style_transfer_tpu.ops import stft as jstft
+    from ml_music_style_transfer_tpu.testing import synthetic
+    from ml_music_style_transfer_tpu.train.loop import Trainer
+
+    styles = ["gentleman", "harpsichord"]
+    root = "/tmp/qgate_tpu"
+    if not os.path.exists(root + "/ds_train.hdf5"):
+        synthetic.make_dataset_dir(root + "/raw", song_ids=[11, 12], styles=styles,
+                                   duration=60.0, seed=8)
+        pp.get_data(root + "/raw", root + "/ds", "train", song_ids=[11, 12],
+                    styles=styles, store_audio=True)
+    store = DeviceDataStore(root + "/ds_train.hdf5", seed=0,
+                            audio_dtype=jnp.float32)
+    log(f"dataset: {store.n_data} chunks x {store.styles}, "
+        f"{store.hbm_bytes()/1e9:.2f} GB HBM")
+
+    B = args.batch_size
+    model_cfg = ModelConfig(width_mult=args.width_mult)
+    tr = Trainer(model_cfg, TrainConfig(batch_size=B, learning_rate=args.lr, seed=0))
+    params, opt_state = tr.init_state(0)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    log(f"params: {n_params/1e6:.1f}M (width_mult={args.width_mult})")
+
+    held = store.n_data - 1
+    train_idx = np.arange(store.n_data - 1)
+    rng = jax.random.PRNGKey(0)
+    host_rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    losses = []
+    for epoch in range(args.epochs):
+        host_rng.shuffle(train_idx)
+        for s in range(0, len(train_idx) - B + 1, B):
+            idx = train_idx[s : s + B]
+            cond_idx = host_rng.choice(train_idx, size=B)  # train chunks only
+            style = host_rng.integers(0, len(store.styles), B)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = tr.train_step_resident(
+                params, opt_state, store.audio, store.pianoroll, store.onoff,
+                jnp.asarray(idx, jnp.int32), jnp.asarray(cond_idx, jnp.int32),
+                jnp.asarray(style, jnp.int32), sub,
+            )
+            losses.append(loss)
+        if epoch == 0:
+            log(f"first epoch (incl. compile): {time.perf_counter()-t0:.1f}s "
+                f"loss={float(losses[-1]):.4f}")
+        elif (epoch + 1) % 50 == 0:
+            log(f"epoch {epoch+1}: loss={float(losses[-1]):.4f} "
+                f"({time.perf_counter()-t0:.0f}s)")
+    first10 = float(np.mean([float(x) for x in losses[:10]]))
+    last10 = float(np.mean([float(x) for x in losses[-10:]]))
+    log(f"train L1: first10={first10:.4f} last10={last10:.4f}")
+
+    # ---- probe: held-out chunk, cond = train chunk 0 of each style --------
+    hp = DEFAULT_DSP
+
+    def spec_of(style_id, chunk_id):
+        a = store.audio[style_id, chunk_id].astype(jnp.float32)
+        return jnp.swapaxes(jstft.log_power(jstft.stft(a, hp.n_fft, hp.ws)), -1, -2)
+
+    @jax.jit
+    def probe(params):
+        roll = store.pianoroll[held][None].astype(jnp.float32)
+        onoff = store.onoff[held][None].astype(jnp.float32)
+        preds, targets = [], []
+        for s in range(2):
+            cond = spec_of(s, 0)[None]
+            preds.append(tr.model.apply(params, roll, cond, onoff)[0])
+            targets.append(spec_of(s, held))
+        pa, pb = preds
+        ta, tb = targets
+        def l1(x, y):
+            return jnp.mean(jnp.abs(x - y))
+        return (l1(pa, ta), l1(pa, tb), l1(pb, tb), l1(pb, ta), pa, pb)
+
+    paa, pab, pbb, pba, pred_a, pred_b = probe(params)
+    paa, pab, pbb, pba = map(float, (paa, pab, pbb, pba))
+    log(f"held-out L1 — cond A: own={paa:.4f} other={pab:.4f} r={paa/pab:.3f}")
+    log(f"held-out L1 — cond B: own={pbb:.4f} other={pba:.4f} r={pbb/pba:.3f}")
+    disc_a, disc_b = paa < 0.9 * pab, pbb < 0.9 * pba
+
+    # ---- Griffin-Lim floor on the predicted spectrogram -------------------
+    pred = np.asarray(pred_b, np.float32)  # (860, 1025)
+    wav = jgl.griffinlim_from_log_power(jnp.asarray(pred.T),
+                                        key=jax.random.PRNGKey(0), n_iter=100)
+    wav_h = np.asarray(wav)
+    finite = bool(np.isfinite(wav_h).all()) and float(np.abs(wav_h).max()) > 0
+    mag_pred = np.sqrt(np.expm1(np.clip(pred.T, 0, 20)))
+    got = np.asarray(jstft.log_power_stft(wav[: hp.samples_per_chunk], hp.n_fft, hp.ws))
+    mag_got = np.sqrt(np.expm1(np.clip(got[:, : mag_pred.shape[1]], 0, 20)))
+    gl_rel = float(np.linalg.norm(mag_got - mag_pred)
+                   / max(np.linalg.norm(mag_pred), 1e-9))
+    log(f"GL floor: finite={finite} rel={gl_rel:.3f}")
+
+    result = {
+        "width_mult": args.width_mult,
+        "params_m": round(n_params / 1e6, 1),
+        "epochs": args.epochs,
+        "train_l1_first10": round(first10, 4),
+        "train_l1_last10": round(last10, 4),
+        "heldout_l1_condA_own": round(paa, 4),
+        "heldout_l1_condA_other": round(pab, 4),
+        "heldout_l1_condB_own": round(pbb, 4),
+        "heldout_l1_condB_other": round(pba, 4),
+        "style_discrimination_A": bool(disc_a),
+        "style_discrimination_B": bool(disc_b),
+        "gl_rel_err": round(gl_rel, 4),
+        "passed": bool(disc_a and disc_b and finite and gl_rel < 0.6
+                       and last10 < 0.5 * first10),
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "QUALITY_GATE_TPU.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
