@@ -39,6 +39,12 @@ def main():
                          "saved, convergence-parity tested in "
                          "tests/test_train.py); pass float32 for exact "
                          "torch.optim.Adam numerics (the Trainer default)")
+    ap.add_argument("--adam-nu-dtype", choices=("float32", "bfloat16"),
+                    default="bfloat16",
+                    help="Adam second-moment dtype (train/optim.py "
+                         "adam_compact); bfloat16 cuts the optimizer sweep "
+                         "to 20 B/param (storage-only cast, arithmetic "
+                         "float32; convergence-parity tested)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +66,8 @@ def main():
     B, T = args.batch_size, 860
     model_cfg = ModelConfig(width_mult=args.width_mult)
     trainer = Trainer(model_cfg, TrainConfig(batch_size=B,
-                                             adam_mu_dtype=args.adam_mu_dtype))
+                                             adam_mu_dtype=args.adam_mu_dtype,
+                                             adam_nu_dtype=args.adam_nu_dtype))
     params, opt_state = trainer.init_state(0)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"params: {n_params/1e6:.1f}M, width_mult={args.width_mult}")
@@ -149,6 +156,7 @@ def main():
         "step_time_ms": round(step_time * 1e3, 2),
         "batch_size": B,
         "adam_mu_dtype": args.adam_mu_dtype or "float32",
+        "adam_nu_dtype": args.adam_nu_dtype or "float32",
         "params_m": round(n_params / 1e6, 1),
         "device": str(dev),
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},

@@ -153,6 +153,10 @@ class TrainConfig:
     # its read+write traffic in the (HBM-bound) optimizer sweep — measured
     # worthwhile on the 731.9M-param flagship where Adam is ~30 ms/step.
     adam_mu_dtype: str | None = None
+    # Adam second-moment dtype: optax has no nu_dtype, so a non-None value
+    # switches to train/optim.py:adam_compact (storage-only cast; arithmetic
+    # stays float32). bf16 m+v cuts the optimizer sweep to 20 B/param.
+    adam_nu_dtype: str | None = None
     # Mesh: (data, model) axis sizes; (1, 1) is the single-chip degenerate case.
     mesh_shape: Tuple[int, int] = (1, 1)
 

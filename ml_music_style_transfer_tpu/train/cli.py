@@ -50,6 +50,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Adam first-moment dtype; bfloat16 halves the m-state "
                         "HBM traffic in the optimizer sweep (default float32 "
                         "= exact torch.optim.Adam parity)")
+    p.add_argument("--adam-nu-dtype", choices=("float32", "bfloat16"), default=None,
+                   help="Adam second-moment dtype; bfloat16 (with "
+                        "--adam-mu-dtype bfloat16) cuts the optimizer sweep "
+                        "to 20 B/param (train/optim.py adam_compact)")
     p.add_argument("--ckpt-format", choices=("msgpack", "orbax"), default="msgpack",
                    help="'orbax': async per-shard checkpoint writes + "
                         "restore-into-sharding on resume (no full host "
@@ -71,6 +75,7 @@ def main(argv=None) -> None:
         spectral_loss_weight=args.spectral_loss,
         mesh_shape=(args.mesh_data, args.mesh_model),
         adam_mu_dtype=args.adam_mu_dtype,
+        adam_nu_dtype=args.adam_nu_dtype,
     )
     mesh = pmesh.make_mesh(args.mesh_data, args.mesh_model) \
         if args.mesh_data * args.mesh_model > 1 else None

@@ -91,8 +91,20 @@ class Trainer:
         )
         mu_dtype = (jnp.dtype(train_cfg.adam_mu_dtype)
                     if train_cfg.adam_mu_dtype else None)
-        self.tx = optax.inject_hyperparams(optax.adam)(
-            learning_rate=train_cfg.learning_rate, mu_dtype=mu_dtype)
+        nu_dtype = (jnp.dtype(train_cfg.adam_nu_dtype)
+                    if train_cfg.adam_nu_dtype else None)
+        if nu_dtype is not None:
+            # optax.adam has no nu_dtype; the compact variant stores both
+            # moments low-precision (train/optim.py). partial keeps the
+            # dtypes out of inject_hyperparams' injection.
+            from .optim import adam_compact
+
+            self.tx = optax.inject_hyperparams(functools.partial(
+                adam_compact, mu_dtype=mu_dtype, nu_dtype=nu_dtype))(
+                    learning_rate=train_cfg.learning_rate)
+        else:
+            self.tx = optax.inject_hyperparams(optax.adam)(
+                learning_rate=train_cfg.learning_rate, mu_dtype=mu_dtype)
         self.scheduler = ReduceLROnPlateau(lr=train_cfg.learning_rate)
         self.exp_root = exp_root
         self.exp_dir = os.path.join(exp_root, train_cfg.exp_name)
