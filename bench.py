@@ -135,6 +135,17 @@ def main():
         w = jgl.griffinlim(mag, key=jax.random.PRNGKey(0), n_iter=300)
         _ = float(w[0])
         extras["griffinlim_sec_per_10s_clip"] = time.perf_counter() - t0
+
+        # batched-clip GL: the bulk-synthesis serving shape (8 clips at once
+        # amortize per-iteration dispatch + fill the VPU/MXU better)
+        mag8 = jnp.asarray(
+            np.abs(rng.standard_normal((8, 1025, n_frames_10s))).astype(np.float32))
+        w8 = jgl.griffinlim(mag8, key=jax.random.PRNGKey(0), n_iter=300)
+        _ = float(w8[0, 0])
+        t0 = time.perf_counter()
+        w8 = jgl.griffinlim(mag8, key=jax.random.PRNGKey(0), n_iter=300)
+        _ = float(w8[0, 0])
+        extras["griffinlim_batched8_sec_per_clip"] = (time.perf_counter() - t0) / 8
         log(f"extras: {extras}")
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

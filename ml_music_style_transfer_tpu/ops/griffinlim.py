@@ -53,6 +53,23 @@ def griffinlim(
     n_fft = 2 * (magnitude.shape[-2] - 1)
     if win_length is None:
         win_length = n_fft
+    if magnitude.ndim == 3 and init_phase is None:
+        # Batched clips: sequential on-device map, one dispatch. Measured on
+        # the v5e at 8x10s clips: XLA's natively-batched FFT path costs
+        # 0.59 s/clip vs 0.30 single-clip; lax.map restores 0.38 s/clip and
+        # keeps the per-clip Pallas glue. A single clip already saturates
+        # the chip, so true batching has nothing to win here.
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, magnitude.shape[0])
+        return jax.lax.map(
+            lambda mk: griffinlim(
+                mk[0], key=mk[1], n_iter=n_iter, hop_length=hop_length,
+                win_length=win_length, momentum=momentum, length=length,
+                use_pallas_glue=use_pallas_glue,
+            ),
+            (magnitude, keys),
+        )
     if init_phase is None:
         if key is None:
             key = jax.random.PRNGKey(0)

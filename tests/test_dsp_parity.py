@@ -118,6 +118,25 @@ class TestGriffinLim:
         rel_err = np.linalg.norm(mag - mag_rec) / np.linalg.norm(mag)
         assert rel_err < 0.12, rel_err
 
+    def test_batched_clips_match_per_clip(self):
+        """The 3D (clips, bins, frames) path is an on-device lax.map of the
+        2D path with per-clip split keys — results must match calling each
+        clip separately (serving bulk-synthesis contract)."""
+        y0 = _harmonic_signal(10240)
+        y1 = _harmonic_signal(10240, seed=5)
+        mags = np.stack([
+            np.abs(np.asarray(jstft.stft(jnp.asarray(y0), 2048, 256))),
+            np.abs(np.asarray(jstft.stft(jnp.asarray(y1 * 0.5), 2048, 256))),
+        ])
+        key = jax.random.PRNGKey(3)
+        batched = np.asarray(jgl.griffinlim(jnp.asarray(mags), key=key,
+                                            n_iter=8, hop_length=256))
+        keys = jax.random.split(key, 2)
+        for b in range(2):
+            single = np.asarray(jgl.griffinlim(jnp.asarray(mags[b]), key=keys[b],
+                                               n_iter=8, hop_length=256))
+            np.testing.assert_allclose(batched[b], single, atol=1e-5, rtol=1e-5)
+
     def test_full_reference_synthesis_path(self):
         """log-power spec -> waveform (inference.py:105-110 equivalent), jitted."""
         y = _harmonic_signal(10240)
