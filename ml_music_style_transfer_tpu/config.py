@@ -157,6 +157,13 @@ class TrainConfig:
     # switches to train/optim.py:adam_compact (storage-only cast; arithmetic
     # stays float32). bf16 m+v cuts the optimizer sweep to 20 B/param.
     adam_nu_dtype: str | None = None
+    # Training-quality options absent in the reference (train.py:188 is bare
+    # Adam) — both off by default for parity. grad_clip_norm bounds the
+    # global update norm (optax.clip_by_global_norm before Adam);
+    # warmup_steps linearly ramps the effective LR over the first N steps
+    # (composes with the plateau scheduler's injected LR).
+    grad_clip_norm: float | None = None
+    warmup_steps: int = 0
     # Mesh: (data, model) axis sizes; (1, 1) is the single-chip degenerate case.
     mesh_shape: Tuple[int, int] = (1, 1)
 

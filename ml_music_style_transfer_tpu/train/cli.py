@@ -54,6 +54,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Adam second-moment dtype; bfloat16 (with "
                         "--adam-mu-dtype bfloat16) cuts the optimizer sweep "
                         "to 20 B/param (train/optim.py adam_compact)")
+    p.add_argument("--grad-clip-norm", type=float, default=None,
+                   help="clip the global gradient norm before Adam (off by "
+                        "default = reference parity)")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear LR warmup over the first N steps (composes "
+                        "with the plateau scheduler)")
     p.add_argument("--ckpt-format", choices=("msgpack", "orbax"), default="msgpack",
                    help="'orbax': async per-shard checkpoint writes + "
                         "restore-into-sharding on resume (no full host "
@@ -76,6 +82,8 @@ def main(argv=None) -> None:
         mesh_shape=(args.mesh_data, args.mesh_model),
         adam_mu_dtype=args.adam_mu_dtype,
         adam_nu_dtype=args.adam_nu_dtype,
+        grad_clip_norm=args.grad_clip_norm,
+        warmup_steps=args.warmup_steps,
     )
     mesh = pmesh.make_mesh(args.mesh_data, args.mesh_model) \
         if args.mesh_data * args.mesh_model > 1 else None

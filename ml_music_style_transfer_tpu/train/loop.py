@@ -99,12 +99,23 @@ class Trainer:
             # dtypes out of inject_hyperparams' injection.
             from .optim import adam_compact
 
-            self.tx = optax.inject_hyperparams(functools.partial(
+            base = optax.inject_hyperparams(functools.partial(
                 adam_compact, mu_dtype=mu_dtype, nu_dtype=nu_dtype))(
                     learning_rate=train_cfg.learning_rate)
         else:
-            self.tx = optax.inject_hyperparams(optax.adam)(
+            base = optax.inject_hyperparams(optax.adam)(
                 learning_rate=train_cfg.learning_rate, mu_dtype=mu_dtype)
+        # optional quality knobs (off by default = exact reference parity;
+        # with both off the transform is exactly `base`, so checkpointed
+        # opt_state trees stay unchanged)
+        pre, post = [], []
+        if train_cfg.grad_clip_norm is not None:
+            pre.append(optax.clip_by_global_norm(train_cfg.grad_clip_norm))
+        if train_cfg.warmup_steps > 0:
+            w = float(train_cfg.warmup_steps)
+            post.append(optax.scale_by_schedule(
+                lambda c: jnp.minimum(1.0, (c.astype(jnp.float32) + 1.0) / w)))
+        self.tx = optax.chain(*pre, base, *post) if (pre or post) else base
         self.scheduler = ReduceLROnPlateau(lr=train_cfg.learning_rate)
         self.exp_root = exp_root
         self.exp_dir = os.path.join(exp_root, train_cfg.exp_name)
@@ -179,8 +190,15 @@ class Trainer:
         return params, opt_state
 
     def set_lr(self, opt_state, lr: float):
-        """Inject a new learning rate without retracing."""
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        """Inject a new learning rate without retracing.
+
+        With grad-clip/warmup options the transform is an optax.chain and
+        opt_state is a tuple — the InjectHyperparamsState is found inside.
+        """
+        target = opt_state
+        if not hasattr(target, "hyperparams"):
+            target = next(s for s in opt_state if hasattr(s, "hyperparams"))
+        target.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         return opt_state
 
     # ---- epochs -------------------------------------------------------

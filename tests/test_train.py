@@ -114,6 +114,40 @@ class TestTrainStep:
             rel = np.abs(cur - f32) / np.maximum(np.abs(f32), 1e-6)
             assert float(rel.mean()) < tol, (key, rel.mean(), f32[-5:], cur[-5:])
 
+    def test_grad_clip_and_warmup_options(self):
+        """Off-by-default training-quality knobs: warmup scales the first
+        update down by ~1/warmup_steps; grad clipping bounds the update; the
+        plateau scheduler's LR injection still works through the chain."""
+        batch = tiny_batch()
+        rng = jax.random.PRNGKey(0)
+
+        def first_update_norm(cfg):
+            tr = Trainer(TINY, cfg)
+            params, opt_state = tr.init_state(0)
+            before = jax.device_get(params)
+            params, opt_state, _ = tr.train_step(params, opt_state, batch, rng)
+            after = jax.device_get(params)
+            delta = jax.tree_util.tree_map(lambda a, b: a - b, after, before)
+            sq = sum(float((d ** 2).sum()) for d in jax.tree_util.tree_leaves(delta))
+            return sq ** 0.5, tr, opt_state
+
+        base_norm, _, _ = first_update_norm(
+            TrainConfig(batch_size=2, learning_rate=1e-3))
+        warm_norm, tr_w, opt_w = first_update_norm(
+            TrainConfig(batch_size=2, learning_rate=1e-3, warmup_steps=10))
+        # first warmup step scales the update by 1/10
+        assert abs(warm_norm / base_norm - 0.1) < 0.02, (warm_norm, base_norm)
+        # LR injection still reaches the InjectHyperparamsState inside the chain
+        opt_w = tr_w.set_lr(opt_w, 5e-4)
+        target = next(s for s in opt_w if hasattr(s, "hyperparams"))
+        assert abs(float(target.hyperparams["learning_rate"]) - 5e-4) < 1e-9
+
+        clip_norm, _, _ = first_update_norm(
+            TrainConfig(batch_size=2, learning_rate=1e-3, grad_clip_norm=1e-6))
+        # clipping the gradient to ~zero norm must shrink the Adam update
+        # (bias-corrected Adam normalizes scale, so compare against base)
+        assert clip_norm < base_norm, (clip_norm, base_norm)
+
     def test_spectral_loss_option(self):
         cfg = TrainConfig(batch_size=2, spectral_loss_weight=0.1)
         tr = Trainer(TINY, cfg)
