@@ -44,11 +44,19 @@ class AudioSynthesizer:
         model_cfg: ModelConfig = ModelConfig(),
         hp: DSPConfig = DEFAULT_DSP,
         checkpoint_path: str | None = None,
+        params=None,
     ):
+        """``params``: pass an in-memory param pytree to serve directly (e.g.
+        right after Trainer.fit, or for benchmarks) — no checkpoint IO."""
         self.exp_dir = exp_dir
         self.hp = hp
         self.midi_source = midi_source
         self.audio_source = audio_source
+        if params is not None:
+            self.model = PerformanceNet(model_cfg)
+            self.model_cfg = model_cfg
+            self.params = jax.device_put(params)
+            return
         if checkpoint_path is None:
             checkpoint_path, _ = ckpt.best_checkpoint(exp_dir)
         if checkpoint_path.endswith(".tar") and not model_cfg.compat_mbr_noop:
@@ -169,11 +177,21 @@ class AudioSynthesizer:
             cond_b = jnp.broadcast_to(jnp.asarray(cond), (n,) + cond.shape)
         else:  # per-tile aligned conditioning (N, 860, 1025)
             cond_b = jnp.asarray(cond)
+        if not hasattr(self, "_fwd_jit"):
+            # cached: a fresh jax.jit(lambda ...) per call would retrace and
+            # recompile on EVERY inference (jit caches by function identity)
+            self._fwd_jit = jax.jit(
+                lambda p, m, a, c: self.model.apply(p, m, a, c, deterministic=True))
+        # bucket the tile count to a multiple of 4 so clips of different
+        # lengths share one compiled forward (XLA compiles per static shape);
+        # padded tiles are zeros and their predictions are dropped
+        n_pad = -(-n // 4) * 4
+        def padn(a):
+            return jnp.asarray(np.pad(np.asarray(a), ((0, n_pad - n),) + ((0, 0),) * (a.ndim - 1)))
         pred = np.asarray(
-            jax.jit(lambda p, m, a, c: self.model.apply(p, m, a, c, deterministic=True))(
-                self.params, jnp.asarray(roll_chunks), cond_b, jnp.asarray(onoff_chunks)
-            )
-        )
+            self._fwd_jit(self.params, padn(roll_chunks), padn(cond_b),
+                          padn(onoff_chunks))
+        )[:n]
         starts = getattr(self, "_chunk_starts", None) or [i * win for i in range(n)]
         length = max(s + win for s in starts)
         j = np.arange(win, dtype=np.float32)
