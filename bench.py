@@ -166,8 +166,8 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "step_time_ms": round(step_time * 1e3, 2),
         "batch_size": B,
-        "adam_mu_dtype": args.adam_mu_dtype or "float32",
-        "adam_nu_dtype": args.adam_nu_dtype or "float32",
+        "adam_mu_dtype": args.adam_mu_dtype,
+        "adam_nu_dtype": args.adam_nu_dtype,
         "params_m": round(n_params / 1e6, 1),
         "device": str(dev),
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},

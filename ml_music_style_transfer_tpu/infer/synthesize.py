@@ -92,7 +92,9 @@ class AudioSynthesizer:
         )
         template = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), template)
         if path.endswith(".orbax"):
-            state = {"params": ckpt.restore_checkpoint_sharded_host(path)["params"]}
+            # params-only partial restore: skips the Adam moments (~2x the
+            # params bytes at flagship size) that a full restore would read
+            state = {"params": ckpt.restore_params_sharded_host(path)}
         else:
             state = ckpt.restore_checkpoint(path, {"params": template})  # ignores extra keys
         return jax.device_put(state["params"])
@@ -238,10 +240,16 @@ class AudioSynthesizer:
 
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), (axis_name,))
-        key = (t_total, axis_name, tuple(mesh.shape.items()))
+        key = (t_total, axis_name,
+               tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat))
         if getattr(self, "_ts_cache_key", None) != key:
             self._ts_fn, self._ts_pad, self._ts_out = tsh.make_time_sharded_forward(
                 self.model_cfg, mesh, t_total, axis_name=axis_name)
+            # replicate params onto the mesh ONCE; re-gathering per call
+            # would move ~2.9 GB (flagship) over the host link every clip
+            self._ts_params = jax.device_put(
+                jax.device_get(self.params),
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
             self._ts_cache_key = key
         t_pad = self._ts_pad
 
@@ -250,7 +258,7 @@ class AudioSynthesizer:
             p[:, : a.shape[0]] = a
             return tsh.shard_time(jnp.asarray(p), mesh, axis_name)
 
-        out = self._ts_fn(jax.device_get(self.params), pad_shard(roll),
+        out = self._ts_fn(self._ts_params, pad_shard(roll),
                           pad_shard(cond_spec), pad_shard(onoff))
         return np.asarray(out)[0, : self._ts_out]
 

@@ -64,8 +64,7 @@ def fast_dropout(x: jnp.ndarray, key: jax.Array, rate: float) -> jnp.ndarray:
     if pk.on_tpu() and len(jax.devices()) == 1:
         seed = jax.random.randint(key, (), -(2**31), 2**31 - 1, dtype=jnp.int32)
         return x * pk.dropout.dropout_mask(seed, x.shape, rate, dtype=x.dtype)
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), jnp.zeros_like(x))
+    return pk.dropout.dropout_reference(x, key, rate)
 
 
 def crop_and_concat(upsampled: jnp.ndarray, bypass: jnp.ndarray) -> jnp.ndarray:

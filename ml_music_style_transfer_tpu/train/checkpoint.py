@@ -144,10 +144,31 @@ def restore_checkpoint_sharded(path: str, template: Any) -> Any:
 
 def restore_checkpoint_sharded_host(path: str) -> Any:
     """Restore an orbax checkpoint fully to host (numpy), no template needed
-    (shapes/dtypes come from the checkpoint's own metadata). Used by
-    inference, which only wants the params subtree."""
+    (shapes/dtypes come from the checkpoint's own metadata)."""
     wait_for_async_saves()
     return _async_checkpointer().restore(os.path.abspath(path))
+
+
+def restore_params_sharded_host(path: str) -> Any:
+    """Restore ONLY the params subtree of an orbax checkpoint to host.
+
+    Inference startup must not read + materialize the Adam moments (~2x the
+    params bytes at flagship size); PyTreeRestore's partial_restore skips
+    the other subtrees entirely."""
+    ocp = _orbax()
+    wait_for_async_saves()
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    meta = ckptr.metadata(os.path.abspath(path))
+    tree = getattr(meta, "item_metadata", meta)
+    tree = getattr(tree, "tree", tree)
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree["params"])
+    out = ckptr.restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(item={"params": abstract},
+                                    partial_restore=True),
+    )
+    return out["params"]
 
 
 def latest_checkpoint(exp_dir: str) -> tuple[str, int] | None:

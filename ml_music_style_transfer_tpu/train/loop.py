@@ -348,9 +348,14 @@ class Trainer:
                 test_store = DeviceDataStore(data_dir + "_test.hdf5",
                                              n_read=self.cfg.n_test_read,
                                              seed=self.cfg.seed + 1, **store_kw)
-            except (ValueError, FileNotFoundError, OSError):
+            except (ValueError, FileNotFoundError, OSError) as e:
+                if "misaligned" in str(e):
+                    raise  # corruption diagnostic, not a missing-audio case
                 # test split preprocessed without --store-audio: evaluate via
-                # the host-streamed path instead
+                # the host-streamed path instead (say so — eval then rides
+                # the slow host link)
+                print(f"device-resident test split unavailable ({e}); "
+                      "evaluating via the host-streamed path")
                 test_ds = ChunkDataset(data_dir + "_test.hdf5",
                                        n_read=self.cfg.n_test_read,
                                        seed=self.cfg.seed + 1)
