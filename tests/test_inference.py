@@ -91,6 +91,28 @@ class TestSynthesizer:
         seam = diffs[425:435].max()
         assert seam < diffs.max() * 1.5 + 1e-6
 
+    def test_forward_jit_cached_across_calls(self, fake_experiment, user_inputs):
+        """Serving regression: repeat inferences reuse ONE compiled forward —
+        the jit wrapper is cached on the synthesizer and tile counts are
+        bucketed to multiples of 4 so different clip lengths share a shape."""
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
+        chunks = synth.process_custom_midi_and_audio(midi_path, wav_path, overlap=True)
+        synth.predict_spectrogram(*chunks)
+        fwd = synth._fwd_jit
+        n1 = fwd._cache_size()
+        # second call, non-overlap tiling (different tile count, same bucket
+        # after padding when both round to the same multiple of 4)
+        chunks2 = synth.process_custom_midi_and_audio(midi_path, wav_path,
+                                                      overlap=False)
+        synth.predict_spectrogram(*chunks2)
+        assert synth._fwd_jit is fwd  # wrapper reused, no per-call jit
+        n_over = -(-chunks[0].shape[0] // 4) * 4
+        n_nonover = -(-chunks2[0].shape[0] // 4) * 4
+        expect = 1 if n_over == n_nonover else 2
+        assert fwd._cache_size() == max(n1, expect), (
+            n1, fwd._cache_size(), n_over, n_nonover)
+
     def test_output_dir_autonumber(self, fake_experiment, user_inputs):
         midi_path, wav_path = user_inputs
         synth = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
