@@ -68,6 +68,23 @@ class TestShardedSaveRestore:
                 n_sharded += 1
         assert n_sharded > 10  # TP actually shards the big kernels
 
+    def test_params_only_partial_restore(self, mesh42, tmp_path):
+        """Inference startup restores ONLY the params subtree — the Adam
+        moments (~2x params bytes at flagship size) must not be read
+        (restore_params_sharded_host, used by AudioSynthesizer)."""
+        tr = Trainer(TINY, TrainConfig(exp_name="orbax3", mesh_shape=(4, 2)),
+                     mesh=mesh42)
+        params, opt_state = tr.init_state(0)
+        state = {"params": params, "opt_state": opt_state, "epoch": 2,
+                 "scheduler": tr.scheduler.state_dict()}
+        path = ckpt.save_checkpoint_sharded(str(tmp_path), 2, state, wait=True)
+        got = ckpt.restore_params_sharded_host(path)
+        want = jax.device_get(params)
+        assert jax.tree_util.tree_structure(got) == jax.tree_util.tree_structure(want)
+        for w, g in zip(jax.tree_util.tree_leaves(want),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
     def test_latest_checkpoint_sees_orbax_dirs(self, tmp_path):
         d = str(tmp_path)
         os.makedirs(os.path.join(d, "checkpoint-3.orbax"))
