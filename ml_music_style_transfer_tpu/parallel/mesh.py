@@ -25,24 +25,69 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: int = 1, model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh. data*model must equal len(devices)."""
+def make_mesh(data: int = 1, model: int = 1, devices=None, dcn: int = 1) -> Mesh:
+    """Build a (data, model) mesh — or (dcn, data, model) when ``dcn > 1``.
+
+    The ``dcn`` axis is the slow inter-host (data-center-network) dimension
+    for multi-host pods: batches shard over (dcn, data) jointly, so the
+    gradient all-reduce decomposes into a fast intra-host/ICI psum along
+    'data' and one inter-host psum along 'dcn' — the standard hybrid layout.
+    TP ('model') stays intra-host, where ICI bandwidth lives. On a
+    multi-process runtime call :func:`distributed_init` first; in
+    single-process tests any device list reshapes the same way.
+    """
     if devices is None:
         devices = jax.devices()
-    n = data * model
+    n = dcn * data * model
     if n != len(devices):
-        raise ValueError(f"mesh {data}x{model} needs {n} devices, have {len(devices)}")
+        raise ValueError(
+            f"mesh {f'{dcn}x' if dcn > 1 else ''}{data}x{model} needs {n} "
+            f"devices, have {len(devices)}")
+    if dcn > 1:
+        if jax.process_count() > 1:
+            # place the slow axis across processes (hosts)
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (data, model), (dcn, 1), devices=devices
+            ).reshape(dcn, data, model)
+        else:
+            dev_array = np.asarray(devices).reshape(dcn, data, model)
+        return Mesh(dev_array, axis_names=("dcn", "data", "model"))
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
-def batch_pspec() -> P:
-    """Batches shard along their leading (batch) axis on the data axis."""
+def distributed_init(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize the multi-host JAX runtime (idempotent no-op if already
+    initialized or single-process). Arguments default to the standard
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars —
+    call before any other jax API on each host of a pod."""
+    import os
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        return  # single-host
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes, process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e):
+            raise
+
+
+def batch_pspec(mesh: Mesh | None = None) -> P:
+    """Batches shard along their leading (batch) axis on the data axis —
+    jointly over (dcn, data) on a hybrid multi-host mesh."""
+    if mesh is not None and "dcn" in mesh.axis_names:
+        return P(("dcn", "data"))
     return P("data")
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, batch_pspec())
+    return NamedSharding(mesh, batch_pspec(mesh))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

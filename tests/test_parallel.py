@@ -97,6 +97,32 @@ class TestDistributedTraining:
         assert abs(a0 - b0) < 1e-4 * max(1.0, abs(a0))
         assert abs(a2 - b2) < 1e-3 * max(1.0, abs(a2))
 
+    def test_hybrid_dcn_mesh_matches_single_device(self, devices):
+        """Multi-host readiness: a (dcn=2, data=2, model=2) hybrid mesh —
+        batches sharded jointly over ('dcn','data'), TP on 'model' — must
+        reproduce single-device math. On a real pod the dcn axis spans
+        hosts (make_mesh(..., dcn=N) after distributed_init); here it is
+        simulated on the virtual 8-CPU mesh, which exercises the same specs
+        and collectives GSPMD would emit across DCN."""
+        batch = tiny_batch(8, seed=3)
+        results = []
+        for mesh in (pmesh.make_mesh(1, 1, devices=devices[:1]),
+                     pmesh.make_mesh(2, 2, dcn=2)):
+            tr = Trainer(TINY, TrainConfig(batch_size=8), mesh=mesh)
+            params, opt_state = tr.init_state(0)
+            b = jax.device_put(batch, tr._batch_sharding)
+            loss0 = float(tr.eval_step(params, b))
+            params, opt_state, tloss = tr.train_step(params, opt_state, b,
+                                                     jax.random.PRNGKey(9))
+            loss1 = float(tr.eval_step(params, b))
+            results.append((loss0, float(tloss), loss1))
+        (a0, a1, a2), (b0, b1, b2) = results
+        assert abs(a0 - b0) < 1e-4 * max(1.0, abs(a0))
+        assert abs(a2 - b2) < 1e-3 * max(1.0, abs(a2))
+        # the hybrid batch sharding actually uses both axes
+        m = pmesh.make_mesh(2, 2, dcn=2)
+        assert pmesh.batch_pspec(m) == P(("dcn", "data"))
+
     def test_dp_only_mesh(self, devices):
         m = pmesh.make_mesh(8, 1)
         tr = Trainer(TINY, TrainConfig(batch_size=8), mesh=m)
