@@ -164,6 +164,9 @@ class TrainConfig:
     # (composes with the plateau scheduler's injected LR).
     grad_clip_norm: float | None = None
     warmup_steps: int = 0
+    # EMA of the params tracked inside opt_state (train/optim.py:param_ema);
+    # fetch with get_param_ema for eval/serving. None = off (parity).
+    ema_decay: float | None = None
     # Mesh: (data, model) axis sizes; (1, 1) is the single-chip degenerate case.
     mesh_shape: Tuple[int, int] = (1, 1)
 

@@ -60,6 +60,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--warmup-steps", type=int, default=0,
                    help="linear LR warmup over the first N steps (composes "
                         "with the plateau scheduler)")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="track an EMA of the params in opt_state (e.g. "
+                        "0.999); fetch with train.optim.get_param_ema")
     p.add_argument("--ckpt-format", choices=("msgpack", "orbax"), default="msgpack",
                    help="'orbax': async per-shard checkpoint writes + "
                         "restore-into-sharding on resume (no full host "
@@ -84,6 +87,7 @@ def main(argv=None) -> None:
         adam_nu_dtype=args.adam_nu_dtype,
         grad_clip_norm=args.grad_clip_norm,
         warmup_steps=args.warmup_steps,
+        ema_decay=args.ema_decay,
     )
     mesh = pmesh.make_mesh(args.mesh_data, args.mesh_model) \
         if args.mesh_data * args.mesh_model > 1 else None

@@ -115,6 +115,10 @@ class Trainer:
             w = float(train_cfg.warmup_steps)
             post.append(optax.scale_by_schedule(
                 lambda c: jnp.minimum(1.0, (c.astype(jnp.float32) + 1.0) / w)))
+        if train_cfg.ema_decay is not None:
+            from .optim import param_ema
+
+            post.append(param_ema(train_cfg.ema_decay))  # last: sees final updates
         self.tx = optax.chain(*pre, base, *post) if (pre or post) else base
         self.scheduler = ReduceLROnPlateau(lr=train_cfg.learning_rate)
         self.exp_root = exp_root

@@ -15,7 +15,7 @@ the update is bit-identical to optax.scale_by_adam (asserted in tests).
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,55 @@ def scale_by_adam_compact(
         return out, optax.ScaleByAdamState(count=count_inc, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init, update)
+
+
+class ParamEmaState(NamedTuple):
+    """Exponential moving average of the PARAMETERS (not the updates)."""
+
+    ema: Any
+
+
+def param_ema(decay: float) -> optax.GradientTransformation:
+    """Track an EMA of the post-update parameters inside the optimizer state.
+
+    Chain LAST (after the learning-rate scale) so ``updates`` are the final
+    deltas: the transform passes them through unchanged and folds
+    ``params + updates`` into the EMA. The EMA rides in opt_state, so
+    checkpointing/resume and mesh sharding apply to it automatically; fetch
+    it with :func:`get_param_ema` (e.g. to evaluate/serve smoothed weights).
+    The reference has no EMA (train.py:188 bare Adam) — off by default.
+    """
+
+    def init(params):
+        return ParamEmaState(ema=jax.tree_util.tree_map(jnp.asarray, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("param_ema requires params in update()")
+        ema = jax.tree_util.tree_map(
+            lambda e, p, u: decay * e + (1.0 - decay) * (p + u),
+            state.ema, params, updates)
+        return updates, ParamEmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_param_ema(opt_state):
+    """Extract the EMA param tree from a (possibly chained) opt_state."""
+    def find(s):
+        if isinstance(s, ParamEmaState):
+            return s.ema
+        if isinstance(s, tuple):
+            for sub in s:
+                r = find(sub)
+                if r is not None:
+                    return r
+        return None
+
+    r = find(opt_state)
+    if r is None:
+        raise ValueError("no ParamEmaState in opt_state — was ema_decay set?")
+    return r
 
 
 def adam_compact(

@@ -148,6 +148,29 @@ class TestTrainStep:
         # (bias-corrected Adam normalizes scale, so compare against base)
         assert clip_norm < base_norm, (clip_norm, base_norm)
 
+    def test_param_ema_tracks_trajectory(self):
+        """ema_decay keeps an EMA of post-update params inside opt_state,
+        exactly matching a manually-tracked EMA of the param snapshots."""
+        from ml_music_style_transfer_tpu.train.optim import get_param_ema
+        d = 0.9
+        tr = Trainer(TINY, TrainConfig(batch_size=2, learning_rate=1e-3,
+                                       ema_decay=d))
+        params, opt_state = tr.init_state(0)
+        expected = jax.device_get(params)  # EMA initialized at init params
+        batch = tiny_batch()
+        rng = jax.random.PRNGKey(0)
+        for _ in range(4):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, _ = tr.train_step(params, opt_state, batch, sub)
+            after = jax.device_get(params)
+            expected = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1 - d) * p, expected, after)
+        got = jax.device_get(get_param_ema(opt_state))
+        for e, g in zip(jax.tree_util.tree_leaves(expected),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                       rtol=1e-5, atol=1e-7)
+
     def test_spectral_loss_option(self):
         cfg = TrainConfig(batch_size=2, spectral_loss_weight=0.1)
         tr = Trainer(TINY, cfg)
