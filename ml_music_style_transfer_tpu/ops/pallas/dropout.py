@@ -49,6 +49,17 @@ def _pad_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _keep_threshold(rate: float) -> int:
+    """uint32 keep threshold: keep iff bits <= threshold.
+
+    Clamped below at 0 — for keep probabilities < 2^-33 round() gives 0 and a
+    bare -1 would wrap to uint32 max in the kernel's comparison, keeping
+    EVERY element instead of almost none (advisor finding, round 2).
+    """
+    keep = 1.0 - rate
+    return max(min(int(round(keep * 2.0**32)), 2**32 - 1), 1) - 1
+
+
 @functools.partial(
     jax.jit, static_argnames=("shape", "rate", "dtype", "block_rows", "interpret")
 )
@@ -69,7 +80,7 @@ def dropout_mask(
     """
     assert 0.0 < rate < 1.0, rate
     keep = 1.0 - rate
-    threshold = min(int(round(keep * 2.0**32)), 2**32 - 1) - 1
+    threshold = _keep_threshold(rate)
     total = 1
     for d in shape:
         total *= d

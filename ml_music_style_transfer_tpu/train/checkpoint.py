@@ -192,6 +192,12 @@ def best_checkpoint(exp_dir: str) -> tuple[str, int]:
     Falls back to the reference's own ``checkpoint-{epoch}.tar`` naming
     (train.py:202-204) so an unmodified reference experiment dir loads
     directly (via compat/torch_import.py).
+
+    If best_epoch's checkpoint is absent in ANY format — e.g. a crash during
+    an async orbax flush after hyperparams.json was already updated (orbax
+    writes to a tmp dir and renames on commit, so an uncommitted save simply
+    never appears at its final path) — falls back to the newest checkpoint
+    that DID commit rather than returning a dangling path.
     """
     exp = ExperimentState.load(exp_dir)
     path = checkpoint_path(exp_dir, exp.best_epoch)
@@ -200,4 +206,9 @@ def best_checkpoint(exp_dir: str) -> tuple[str, int]:
                     os.path.join(exp_dir, f"checkpoint-{exp.best_epoch}.tar")):
             if os.path.exists(alt):
                 return alt, exp.best_epoch
+        latest = latest_checkpoint(exp_dir)
+        if latest is not None:
+            print(f"warning: best_epoch={exp.best_epoch} checkpoint missing "
+                  f"(crash during async save?); using {latest[0]}")
+            return latest
     return path, exp.best_epoch

@@ -100,6 +100,21 @@ class TestShardedSaveRestore:
         path, epoch = ckpt.best_checkpoint(str(tmp_path))
         assert epoch == 4 and path.endswith("checkpoint-4.orbax")
 
+    def test_best_checkpoint_falls_back_when_async_save_never_committed(
+            self, tmp_path):
+        """Crash window (advisor finding, round 2): hyperparams.json may point
+        at an epoch whose async orbax flush never committed (orbax renames a
+        tmp dir on commit, so the final path simply doesn't exist). Resolution
+        must fall back to the newest checkpoint that DID commit."""
+        d = str(tmp_path)
+        exp = ckpt.ExperimentState(1, 1, "x")
+        exp.best_epoch = 7  # points at a save that never landed
+        exp.save(d)
+        os.makedirs(os.path.join(d, "checkpoint-5.orbax"))
+        open(os.path.join(d, "checkpoint-3.msgpack"), "wb").close()
+        path, epoch = ckpt.best_checkpoint(d)
+        assert epoch == 5 and path.endswith("checkpoint-5.orbax")
+
 
 @pytest.fixture(scope="module")
 def tiny_h5(tmp_path_factory):

@@ -63,6 +63,18 @@ class TestDropoutKernel:
         # zero-bit stub => every element kept at the exact scale
         np.testing.assert_allclose(m, 1.0 / (1.0 - rate), rtol=1e-6)
 
+    def test_keep_threshold_no_uint32_wrap_at_extreme_rates(self):
+        """rate -> 1 (keep < 2^-33) must clamp to threshold 0, not wrap to
+        uint32 max (which would keep EVERY element)."""
+        from ml_music_style_transfer_tpu.ops.pallas import dropout as dk
+        assert dk._keep_threshold(1.0 - 2.0**-40) == 0
+        assert dk._keep_threshold(1.0 - 2.0**-33) == 0
+        # ordinary rates are exact to 2^-32
+        assert dk._keep_threshold(0.5) == round(0.5 * 2**32) - 1
+        assert dk._keep_threshold(0.2) == round(0.8 * 2**32) - 1
+        # rate -> 0 clamps at uint32 max (keep everything), no overflow
+        assert dk._keep_threshold(2.0**-40) == 2**32 - 2
+
     def test_fallback_path_statistics(self):
         """fast_dropout on CPU uses the threefry path: real statistics."""
         from ml_music_style_transfer_tpu.models.layers import fast_dropout
