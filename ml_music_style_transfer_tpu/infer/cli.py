@@ -29,6 +29,9 @@ def main(argv=None) -> None:
     p.add_argument("--checkpoint", type=str, default=None,
                    help="explicit checkpoint path (.msgpack or reference .tar); "
                         "default resolves via hyperparams.json best_epoch")
+    p.add_argument("--use-ema", action="store_true",
+                   help="serve the EMA-smoothed weights an --ema-decay "
+                        "training run checkpointed (ema_params tree)")
     p.add_argument("--cond-mode", choices=("aligned", "center"), default="aligned",
                    help="'aligned': each MIDI tile conditions on the audio at "
                         "its own time position (whole-clip semantics, as the "
@@ -42,6 +45,7 @@ def main(argv=None) -> None:
         model_cfg=ModelConfig(width_mult=args.width_mult,
                               compat_mbr_noop=args.compat_mbr_noop),
         checkpoint_path=args.checkpoint,
+        use_ema=args.use_ema,
     )
     outs = synth.inference(n_iter=args.n_iter, cond_mode=args.cond_mode)
     for o in outs:

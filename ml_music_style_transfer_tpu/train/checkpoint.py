@@ -149,26 +149,32 @@ def restore_checkpoint_sharded_host(path: str) -> Any:
     return _async_checkpointer().restore(os.path.abspath(path))
 
 
-def restore_params_sharded_host(path: str) -> Any:
-    """Restore ONLY the params subtree of an orbax checkpoint to host.
+def restore_params_sharded_host(path: str, key: str = "params") -> Any:
+    """Restore ONLY one param-tree subtree of an orbax checkpoint to host.
 
     Inference startup must not read + materialize the Adam moments (~2x the
     params bytes at flagship size); PyTreeRestore's partial_restore skips
-    the other subtrees entirely."""
+    the other subtrees entirely. ``key`` selects which tree: "params"
+    (default) or "ema_params" (written by fit() when ema_decay is set)."""
     ocp = _orbax()
     wait_for_async_saves()
     ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
     meta = ckptr.metadata(os.path.abspath(path))
     tree = getattr(meta, "item_metadata", meta)
     tree = getattr(tree, "tree", tree)
+    if key not in tree:
+        raise ValueError(
+            f"checkpoint {path} has no '{key}' tree"
+            + (" — was --ema-decay set during training?" if key == "ema_params" else "")
+        )
     abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree["params"])
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree[key])
     out = ckptr.restore(
         os.path.abspath(path),
-        args=ocp.args.PyTreeRestore(item={"params": abstract},
+        args=ocp.args.PyTreeRestore(item={key: abstract},
                                     partial_restore=True),
     )
-    return out["params"]
+    return out[key]
 
 
 def latest_checkpoint(exp_dir: str) -> tuple[str, int] | None:

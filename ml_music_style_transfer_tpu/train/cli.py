@@ -61,8 +61,17 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="linear LR warmup over the first N steps (composes "
                         "with the plateau scheduler)")
     p.add_argument("--ema-decay", type=float, default=None,
-                   help="track an EMA of the params in opt_state (e.g. "
-                        "0.999); fetch with train.optim.get_param_ema")
+                   help="track an EMA of the params (e.g. 0.999): eval and "
+                        "best-epoch selection use the smoothed weights, "
+                        "checkpoints add an ema_params tree, and the infer "
+                        "CLI serves it with --use-ema")
+    p.add_argument("--store-sharding", choices=("replicated", "data"),
+                   default="replicated",
+                   help="device-resident store placement on a mesh: "
+                        "'replicated' (full copy per device, local gathers) "
+                        "or 'data' (rows sharded 1/N per device, GSPMD "
+                        "gather collectives; use when the dataset is the "
+                        "HBM constraint)")
     p.add_argument("--ckpt-format", choices=("msgpack", "orbax"), default="msgpack",
                    help="'orbax': async per-shard checkpoint writes + "
                         "restore-into-sharding on resume (no full host "
@@ -97,7 +106,7 @@ def main(argv=None) -> None:
         model_cfg, train_cfg, mesh=mesh,
         stream_dtype=jnp.bfloat16 if args.stream_bf16 else None,
     ).fit(args.data_dir, resume=args.resume, device_resident=args.device_resident,
-          checkpoint_format=args.ckpt_format)
+          checkpoint_format=args.ckpt_format, store_sharding=args.store_sharding)
 
 
 if __name__ == "__main__":

@@ -159,12 +159,21 @@ class Trainer:
         self.eval_step = jax.jit(eval_step)
 
         # device-resident variant: batch gather + on-device STFT fused into
-        # the step; inputs are index vectors only (see data/device_store.py)
+        # the step; inputs are index vectors only (see data/device_store.py).
+        # The gathered batch is constrained to the mesh's batch sharding so
+        # the resident path composes with DP/TP/hybrid meshes (round-2 gap:
+        # the fastest data path and the scaling path were mutually
+        # exclusive) — on a 1x1 mesh the constraint is the identity.
+        def constrain_batch(batch):
+            return {k: jax.lax.with_sharding_constraint(v, self._batch_sharding)
+                    for k, v in batch.items()}
+
         def train_step_resident(params, opt_state, audio, roll, onoff, idx,
                                 cond_idx, style, rng):
             from ..data.device_store import gather_batch
 
-            batch = gather_batch(audio, roll, onoff, idx, cond_idx, style)
+            batch = constrain_batch(
+                gather_batch(audio, roll, onoff, idx, cond_idx, style))
             return train_step(params, opt_state, batch, rng)
 
         self.train_step_resident = jax.jit(train_step_resident, donate_argnums=(0, 1))
@@ -173,8 +182,9 @@ class Trainer:
                                weight=None):
             from ..data.device_store import gather_batch
 
-            batch = gather_batch(audio, roll, onoff, idx, cond_idx, style,
-                                 weight=weight)
+            batch = constrain_batch(
+                gather_batch(audio, roll, onoff, idx, cond_idx, style,
+                             weight=weight))
             return eval_step(params, batch)
 
         self.eval_step_resident = jax.jit(eval_step_resident)
@@ -256,9 +266,11 @@ class Trainer:
     def evaluate(self, params, dataset: ChunkDataset, exp=None) -> float:
         """Weighted-exact MSE over the full eval set (reference test(), train.py:152-170)."""
         total, weight_sum = 0.0, 0.0
+        # stream_dtype applies to eval too: a --stream-bf16 run must not pay
+        # full-f32 spectrogram uploads every test_freq epochs (round-2 gap)
         batches = device_prefetch(
             dataset.epoch_batches(self.cfg.batch_size, shuffle=False, drop_last=False),
-            self._batch_sharding,
+            self._batch_sharding, stream_dtype=self.stream_dtype,
         )
         for batch in batches:
             loss = self.eval_step(params, batch)
@@ -316,7 +328,8 @@ class Trainer:
 
     # ---- full fit (reference main(), train.py:173-208) ----------------
     def fit(self, data_dir: str, resume: bool = False, device_resident: bool = False,
-            device_audio_dtype=None, checkpoint_format: str = "msgpack"):
+            device_audio_dtype=None, checkpoint_format: str = "msgpack",
+            store_sharding: str = "replicated"):
         """Train. ``device_resident=True`` parks the train split in HBM and
         assembles batches on-device (requires preprocessing --store-audio).
 
@@ -331,6 +344,11 @@ class Trainer:
         the full tree to host, and resume restores straight into the mesh
         shardings — the right choice on multi-chip meshes). Both keep the
         reference's hyperparams.json best-epoch contract.
+
+        ``store_sharding``: placement of the device-resident store on the
+        mesh — 'replicated' (full copy per device, local gathers) or 'data'
+        (rows sharded over the data axes; use when the dataset is the HBM
+        constraint). See data/device_store.py.
         """
         if checkpoint_format not in ("msgpack", "orbax"):
             raise ValueError(f"unknown checkpoint_format {checkpoint_format!r}")
@@ -343,6 +361,8 @@ class Trainer:
             from ..data.device_store import DeviceDataStore
 
             store_kw = {} if device_audio_dtype is None else {"audio_dtype": device_audio_dtype}
+            store_kw["mesh"] = self.mesh  # resident path composes with DP/TP
+            store_kw["store_sharding"] = store_sharding
             store = DeviceDataStore(data_dir + "_train.hdf5",
                                     n_read=self.cfg.n_train_read, seed=self.cfg.seed,
                                     **store_kw)
@@ -423,10 +443,20 @@ class Trainer:
                         frames_per_sec=n_batches
                         * self.cfg.batch_size * 860 / max(dt, 1e-9))
             if epoch % self.cfg.test_freq == 0:
-                if test_store is not None:
-                    test_loss = self.evaluate_resident(test_store, params, exp=exp)
+                # with ema_decay set, eval + checkpoint the SMOOTHED weights:
+                # they are what serving loads (--use-ema), so best-epoch
+                # selection must rank the same weights (round-2 gap: EMA was
+                # tracked in opt_state but never consumed)
+                if self.cfg.ema_decay is not None:
+                    from .optim import get_param_ema
+
+                    eval_params = get_param_ema(opt_state)
                 else:
-                    test_loss = self.evaluate(params, test_ds, exp=exp)
+                    eval_params = params
+                if test_store is not None:
+                    test_loss = self.evaluate_resident(test_store, eval_params, exp=exp)
+                else:
+                    test_loss = self.evaluate(eval_params, test_ds, exp=exp)
                 exp.test_loss_history.append(test_loss)
                 opt_state = self.set_lr(opt_state, self.scheduler.step(test_loss))
                 metrics.log("eval", epoch=epoch, test_loss=test_loss, lr=self.scheduler.lr)
@@ -435,6 +465,10 @@ class Trainer:
                     state = {"params": params, "opt_state": opt_state,
                              "epoch": epoch + 1,
                              "scheduler": self.scheduler.state_dict()}
+                    if self.cfg.ema_decay is not None:
+                        # duplicated out of opt_state so serving can restore
+                        # the EMA tree alone (params-only-style partial read)
+                        state["ema_params"] = eval_params
                     if checkpoint_format == "orbax":
                         # async per-shard write: training continues while the
                         # previous checkpoint flushes in the background
