@@ -88,6 +88,116 @@ class TestDeviceStore:
             DeviceDataStore(p)
 
 
+class TestDeviceStoreMesh:
+    """Round-3: the resident path composes with the DP/TP/hybrid mesh
+    (round-2 verdict #2 — the fastest data path and the scaling path must be
+    the same path). Store arrays carry explicit NamedShardings; index
+    vectors shard over the batch axes; the jitted gather+step is the same
+    program GSPMD partitions."""
+
+    def _stores(self, audio_h5, mesh=None, **kw):
+        return DeviceDataStore(audio_h5 + "_train.hdf5", seed=0,
+                               audio_dtype=jnp.float32, mesh=mesh, **kw)
+
+    def test_resident_dp_parity_with_single_device(self, audio_h5):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from ml_music_style_transfer_tpu.parallel import mesh as pmesh
+        B = 8
+        mesh8 = pmesh.make_mesh(8, 1)
+        tr1 = Trainer(TINY, TrainConfig(batch_size=B, seed=0))
+        tr8 = Trainer(TINY, TrainConfig(batch_size=B, seed=0), mesh=mesh8)
+        s1 = self._stores(audio_h5)
+        s8 = self._stores(audio_h5, mesh=mesh8)
+        # replicated store: every device holds the full arrays
+        assert s8.audio.sharding.is_fully_replicated
+        p1, o1 = tr1.init_state(0)
+        p8, o8 = tr8.init_state(0)
+        rng = np.random.default_rng(3)
+        l1s, l8s = [], []
+        for step in range(3):
+            idx = rng.integers(0, s1.n_data, B)
+            cidx = rng.integers(0, s1.n_data, B)
+            style = rng.integers(0, len(s1.styles), B)
+            key = jax.random.PRNGKey(step)
+            i8, c8, st8 = s8._put_idx(idx), s8._put_idx(cidx), s8._put_idx(style)
+            # index vectors are batch-sharded (1/8 of the batch per device)
+            assert not i8.sharding.is_fully_replicated
+            p1, o1, l1 = tr1.train_step_resident(
+                p1, o1, s1.audio, s1.pianoroll, s1.onoff,
+                jnp.asarray(idx, jnp.int32), jnp.asarray(cidx, jnp.int32),
+                jnp.asarray(style, jnp.int32), key)
+            p8, o8, l8 = tr8.train_step_resident(
+                p8, o8, s8.audio, s8.pianoroll, s8.onoff, i8, c8, st8, key)
+            l1s.append(float(l1))
+            l8s.append(float(l8))
+        # step 0 is pre-update: gather/pairing parity must be exact-ish;
+        # later steps accumulate the psum gradient all-reduce's different
+        # reduction order (vs the single-device sum), so params drift at
+        # float32 rounding scale per step — bound it loosely
+        np.testing.assert_allclose(l8s[0], l1s[0], rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(l8s, l1s, rtol=2e-3, atol=1e-4)
+
+    def test_resident_hybrid_mesh_step(self, audio_h5):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from ml_music_style_transfer_tpu.parallel import mesh as pmesh
+        B = 8
+        hmesh = pmesh.make_mesh(2, 2, dcn=2)  # (dcn, data, model)
+        tr = Trainer(TINY, TrainConfig(batch_size=B, seed=0), mesh=hmesh)
+        s = self._stores(audio_h5, mesh=hmesh)
+        p, o = tr.init_state(0)
+        rng = np.random.default_rng(0)
+        idx = s._put_idx(rng.integers(0, s.n_data, B))
+        cidx = s._put_idx(rng.integers(0, s.n_data, B))
+        style = s._put_idx(rng.integers(0, len(s.styles), B))
+        p, o, loss = tr.train_step_resident(
+            p, o, s.audio, s.pianoroll, s.onoff, idx, cidx, style,
+            jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+
+    def test_row_sharded_store_gather_parity(self, audio_h5):
+        """store_sharding='data': rows shard over the data axis (1/N HBM per
+        device, GSPMD gather collectives); the gathered batch must equal the
+        replicated store's."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from ml_music_style_transfer_tpu.parallel import mesh as pmesh
+        mesh8 = pmesh.make_mesh(8, 1)
+        s_rep = self._stores(audio_h5, mesh=mesh8)
+        s_row = self._stores(audio_h5, mesh=mesh8, store_sharding="data")
+        # row-sharded: per-device audio bytes ~= total/8 (rows padded to 8)
+        n_pad_rows = -(-s_row.n_data // 8) * 8
+        shard_rows = s_row.audio.sharding.shard_shape(s_row.audio.shape)[1]
+        assert shard_rows == n_pad_rows // 8, (shard_rows, n_pad_rows)
+        idx = np.array([0, 2, 1, 0, 1, 2, 2, 0], np.int32)
+        cidx = np.array([1, 0, 2, 2, 0, 1, 0, 1], np.int32)
+        style = np.array([0, 1, 0, 1, 0, 1, 0, 1], np.int32)
+        gathered = []
+        for s in (s_rep, s_row):
+            b = jax.jit(gather_batch)(s.audio, s.pianoroll, s.onoff,
+                                      s._put_idx(idx), s._put_idx(cidx),
+                                      s._put_idx(style))
+            gathered.append({k: np.asarray(v) for k, v in b.items()})
+        for k in gathered[0]:
+            np.testing.assert_allclose(gathered[1][k], gathered[0][k],
+                                       atol=1e-6, err_msg=k)
+
+    def test_fit_device_resident_on_dp_mesh(self, audio_h5, tmp_path,
+                                            monkeypatch):
+        """fit(device_resident=True) on a DP mesh end to end."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        from ml_music_style_transfer_tpu.parallel import mesh as pmesh
+        monkeypatch.chdir(tmp_path)
+        mesh2 = pmesh.make_mesh(2, 1, devices=jax.devices()[:2])
+        cfg = TrainConfig(epochs=1, test_freq=1, exp_name="drmesh", batch_size=2)
+        tr = Trainer(TINY, cfg, mesh=mesh2)
+        params, exp = tr.fit(audio_h5, device_resident=True)
+        assert len(exp.loss_history) == 1
+        assert exp.best_epoch == 1
+
+
 class TestResidentEval:
     def test_evaluate_resident_weighted_exact_and_deterministic(self, audio_h5):
         """Resident eval covers every chunk once (zero-weight padding) and
