@@ -8,15 +8,26 @@ Rebuild of reference model/inference.py:22-110 (AudioSynthesizer):
     one implementation)
   - XLA needs static shapes, so arbitrary-length MIDI is tiled into
     860-frame chunks (padded at the tail), run as ONE batched jitted forward,
-    and the predicted spectrogram chunks are concatenated and trimmed — the
+    and the predicted spectrogram chunks are crossfade-blended — the
     chunking contract is the same one training uses (SURVEY §5
     long-context note)
+  - the serving path is DEVICE-RESIDENT end to end (round-3): host->device
+    traffic is the raw waveform + int8 MIDI tiles, device->host is the final
+    waveform. The conditioning spectrogram, per-tile cond gather, forward,
+    triangular crossfade blend, and Griffin-Lim all stay in HBM — on a
+    slow host link (~0.05 GB/s here) the old spectrogram round-trips cost
+    more than the TPU compute itself (BASELINE.md serving section)
   - Griffin-Lim phase recovery (300 iters) runs fully on-device
     (ops/griffinlim.py) instead of the reference's host librosa loop
     (inference.py:105-110)
+  - jit wrappers / loaded params are cached at MODULE level (keyed by model
+    config / checkpoint path), so a second AudioSynthesizer for the same
+    experiment neither recompiles nor re-uploads ~GBs of params — the right
+    shape for a serving process (round-2 verdict #7)
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -32,6 +43,106 @@ from ..ops import griffinlim as jgl
 from ..ops import stft as jstft
 from ..train import checkpoint as ckpt
 
+# ---- transfer accounting seams ------------------------------------------
+# All serving host<->device crossings go through _stage/_fetch. Tests set
+# TRANSFER_LOG to a list to record ("h2d"|"d2h", nbytes) per crossing and
+# assert the device-resident contract (no spectrogram-sized transfers).
+TRANSFER_LOG: list | None = None
+
+
+def _stage(x) -> jnp.ndarray:
+    """Host -> device (the only upload seam in serving)."""
+    if TRANSFER_LOG is not None:
+        TRANSFER_LOG.append(("h2d", int(np.asarray(x).nbytes)))
+    return jnp.asarray(x)
+
+
+def _fetch(x) -> np.ndarray:
+    """Device -> host (the only download seam in serving)."""
+    if TRANSFER_LOG is not None:
+        TRANSFER_LOG.append(("d2h", int(x.nbytes)))
+    return np.asarray(x)
+
+
+# ---- module-level serving caches (round-2 verdict #7) -------------------
+# Keyed by the frozen ModelConfig dataclass / resolved checkpoint path, so
+# every AudioSynthesizer for the same model shares ONE compiled forward and
+# ONE device-resident param tree.
+_PARAMS_CACHE: dict = {}        # (checkpoint_path, use_ema) -> device params
+_TS_FN_CACHE: dict = {}         # time-sharded forward programs
+_TS_PARAMS_CACHE: dict = {}     # mesh-replicated params for whole-clip path
+
+
+@functools.lru_cache(maxsize=None)
+def _get_model(model_cfg: ModelConfig) -> PerformanceNet:
+    return PerformanceNet(model_cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_jit(model_cfg: ModelConfig):
+    """Jitted deterministic forward, shared across synthesizer instances."""
+    model = _get_model(model_cfg)
+    return jax.jit(
+        lambda p, m, a, c: model.apply(p, m, a, c, deterministic=True))
+
+
+@functools.partial(jax.jit, static_argnames=("win",))
+def _cond_tiles(spec, starts_cond, n_valid, *, win):
+    """Per-tile conditioning gather, on device.
+
+    ``spec``: (n_frames, bins) log-power spec of the timbre audio (device).
+    Tile i gets frames (starts_cond[i] + j) % n_valid — cyclic extension
+    when the audio is shorter than the MIDI, identity slicing otherwise
+    (exactly the host tile/slice semantics of rounds 1-2, now HBM-only).
+    """
+    j = jnp.arange(win, dtype=jnp.int32)
+    idx = (starts_cond[:, None].astype(jnp.int32) + j[None, :]) % n_valid
+    return spec[idx]
+
+
+@functools.lru_cache(maxsize=None)
+def _predict_blend_jit(model_cfg: ModelConfig):
+    """Forward over all tiles + triangular crossfade blend, one program.
+
+    The blend (reference semantics: overlapping tile predictions weighted by
+    min(j+1, win-j) and normalized) is a scan of dynamic-slice adds — ~10
+    lines of jnp that previously ran in NumPy on the host, costing a
+    spectrogram-sized round-trip per clip (round-2 verdict #1).
+    """
+    model = _get_model(model_cfg)
+
+    @functools.partial(jax.jit, static_argnames=("l_out",))
+    def run(params, roll, onoff, cond, starts, valid, t_total, *, l_out):
+        midi = roll.astype(jnp.float32)
+        onoff_f = onoff.astype(jnp.float32)
+        pred = model.apply(params, midi, cond, onoff_f, deterministic=True)
+        pred = pred.astype(jnp.float32)
+        win = midi.shape[1]
+        nb = pred.shape[-1]
+        j = jnp.arange(win, dtype=jnp.float32)
+        wgt = jnp.minimum(j + 1.0, win - j)[:, None]  # triangular crossfade
+
+        def body(carry, x):
+            num, den = carry
+            p, s, v = x
+            cur = jax.lax.dynamic_slice(num, (s, 0), (win, nb))
+            num = jax.lax.dynamic_update_slice(num, cur + p * wgt * v, (s, 0))
+            curd = jax.lax.dynamic_slice(den, (s, 0), (win, 1))
+            den = jax.lax.dynamic_update_slice(den, curd + wgt * v, (s, 0))
+            return (num, den), None
+
+        num0 = jnp.zeros((l_out, nb), jnp.float32)
+        den0 = jnp.zeros((l_out, 1), jnp.float32)
+        (num, den), _ = jax.lax.scan(
+            body, (num0, den0), (pred, starts.astype(jnp.int32), valid))
+        out = num / jnp.maximum(den, 1e-9)
+        # frames beyond the MIDI's true length are silence (the host path
+        # trimmed here; on device we mask so GL sees zeros)
+        mask = (jnp.arange(l_out) < t_total)[:, None]
+        return jnp.where(mask, out, 0.0)
+
+    return run
+
 
 class AudioSynthesizer:
     """Style-transfer synthesis from a trained experiment directory."""
@@ -45,17 +156,24 @@ class AudioSynthesizer:
         hp: DSPConfig = DEFAULT_DSP,
         checkpoint_path: str | None = None,
         params=None,
+        use_ema: bool = False,
     ):
         """``params``: pass an in-memory param pytree to serve directly (e.g.
-        right after Trainer.fit, or for benchmarks) — no checkpoint IO."""
+        right after Trainer.fit, or for benchmarks) — no checkpoint IO.
+
+        ``use_ema``: load the EMA-smoothed weights a --ema-decay training run
+        checkpointed (fit() writes them as the 'ema_params' tree alongside
+        'params'); fails loudly if the checkpoint has none."""
         self.exp_dir = exp_dir
         self.hp = hp
         self.midi_source = midi_source
         self.audio_source = audio_source
+        self.use_ema = use_ema
         if params is not None:
-            self.model = PerformanceNet(model_cfg)
+            self.model = _get_model(model_cfg)
             self.model_cfg = model_cfg
             self.params = jax.device_put(params)
+            self._params_key = ("inmem", id(self.params))
             return
         if checkpoint_path is None:
             checkpoint_path, _ = ckpt.best_checkpoint(exp_dir)
@@ -71,16 +189,26 @@ class AudioSynthesizer:
                 "compat_mbr_noop=True for output parity"
             )
             model_cfg = dataclasses.replace(model_cfg, compat_mbr_noop=True)
-        self.model = PerformanceNet(model_cfg)
+        self.model = _get_model(model_cfg)
         self.model_cfg = model_cfg
-        self.params = self._load_params(checkpoint_path)
+        self._params_key = (os.path.abspath(checkpoint_path), use_ema)
+        if self._params_key in _PARAMS_CACHE:
+            # serving hygiene: a second synthesizer for the same experiment
+            # reuses the device-resident tree — no re-read, no re-upload
+            self.params = _PARAMS_CACHE[self._params_key]
+        else:
+            self.params = self._load_params(checkpoint_path)
+            _PARAMS_CACHE[self._params_key] = self.params
 
     def _load_params(self, path: str):
         if path.endswith(".tar"):
             # a reference (PyTorch) checkpoint: import it directly
+            if self.use_ema:
+                raise ValueError("reference .tar checkpoints carry no EMA weights")
             from ..compat import load_reference_checkpoint
 
             return jax.device_put(load_reference_checkpoint(path))
+        key = "ema_params" if self.use_ema else "params"
         t = self.hp.windows_per_chunk
         dummy = (
             jnp.zeros((1, t, self.model_cfg.start_channels), jnp.float32),
@@ -92,38 +220,28 @@ class AudioSynthesizer:
         )
         template = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), template)
         if path.endswith(".orbax"):
-            # params-only partial restore: skips the Adam moments (~2x the
+            # partial restore of one tree: skips the Adam moments (~2x the
             # params bytes at flagship size) that a full restore would read
-            state = {"params": ckpt.restore_params_sharded_host(path)}
+            state = {key: ckpt.restore_params_sharded_host(path, key=key)}
         else:
-            state = ckpt.restore_checkpoint(path, {"params": template})  # ignores extra keys
-        return jax.device_put(state["params"])
+            try:
+                state = ckpt.restore_checkpoint(path, {key: template})  # ignores extra keys
+            except (KeyError, ValueError) as e:
+                if self.use_ema:
+                    raise ValueError(
+                        f"checkpoint {path} has no 'ema_params' tree — was "
+                        "--ema-decay set during training?") from e
+                raise
+        return jax.device_put(state[key])
 
     # ---- input processing (reference inference.py:37-71, deduplicated) --
-    def process_custom_midi_and_audio(self, midi_path: str, audio_path: str,
-                                      overlap: bool = True,
-                                      cond_mode: str = "aligned"):
-        """MIDI -> chunked (N,860,128) roll/onoff; audio -> conditioning spec.
+    def _chunk_midi(self, midi_path: str, overlap: bool):
+        """MIDI -> int8 tile stacks (n,860,128) x2 + tile starts + true length.
 
-        ``overlap=True`` tiles with 50% overlap; predictions are later
-        crossfade-blended (predict_spectrogram), avoiding seams at chunk
-        boundaries. (The reference runs arbitrary-length clips in one eager
-        pass, inference.py:37-84; XLA's static shapes make tiling the
-        TPU-native equivalent — blending recovers the seamless behavior.)
-
-        ``cond_mode`` controls how the conditioning audio is presented:
-          - "aligned" (default): the reference feeds the WHOLE clip's
-            spectrogram to the audio encoder, however long
-            (inference.py:55-62, forwarded unchunked at :82-84), so every
-            part of the timbre source influences the output. Statically
-            shaped equivalent: each MIDI tile gets the 860-frame cond chunk
-            at ITS OWN time position, cyclically extending the audio when it
-            is shorter than the MIDI. Returns cond shaped (N, 860, 1025).
-          - "center": round-1 fallback — one center crop broadcast to all
-            tiles (discards timbre beyond the middle 5 s). (860, 1025).
+        int8 staging: piano-rolls are binary and onoff is {-1,0,1}; uploading
+        them at 1 B/entry instead of float32 quarters the MIDI bytes on the
+        slow host link. The jitted forward casts to float32 on device.
         """
-        if cond_mode not in ("aligned", "center"):
-            raise ValueError(f"cond_mode must be 'aligned' or 'center', got {cond_mode!r}")
         hp = self.hp
         mf = midi_parser.load(midi_path)
         roll, onoff = pr.vectorize_notes(mf.notes, hp.wps)
@@ -137,73 +255,156 @@ class AudioSynthesizer:
         starts = list(range(0, last + 1, hop))
         if starts[-1] != last:
             starts.append(last)
-        # pad the tail so the final aligned chunk is full (non-overlap mode)
         need = starts[-1] + win
         if roll.shape[0] < need:
             pad = need - roll.shape[0]
             roll = np.pad(roll, ((0, pad), (0, 0)))
             onoff = np.pad(onoff, ((0, pad), (0, 0)))
-        roll_chunks = np.stack([roll[s : s + win] for s in starts]).astype(np.float32)
-        onoff_chunks = np.stack([onoff[s : s + win] for s in starts]).astype(np.float32)
+        roll_chunks = np.stack([roll[s : s + win] for s in starts]).astype(np.int8)
+        onoff_chunks = np.stack([onoff[s : s + win] for s in starts]).astype(np.int8)
         self._chunk_starts = starts
+        return roll_chunks, onoff_chunks, starts, t_total
 
-        audio, _ = audio_io.read_wav(audio_path, sr=hp.sr)
-        spec = np.asarray(jstft.log_power_stft(jnp.asarray(audio), hp.n_fft, hp.ws)).T  # (T,1025)
-        if cond_mode == "center":
-            # center 860 frames (repeat if shorter), broadcast to every tile
-            if spec.shape[0] < win:
-                reps = -(-win // spec.shape[0])
-                spec = np.tile(spec, (reps, 1))
-            start = (spec.shape[0] - win) // 2
-            cond = spec[start : start + win].astype(np.float32)
+    def _cond_spec_device(self, audio_path: str) -> jnp.ndarray:
+        """Timbre audio -> on-device log-power spec (n_frames, bins).
+
+        The ONLY upload is the raw waveform; the spectrogram never visits
+        the host (the round-2 path downloaded it at ~4 B/bin/frame and
+        re-uploaded tiles — round-2 verdict #1).
+        """
+        audio, _ = audio_io.read_wav(audio_path, sr=self.hp.sr)
+        spec = jstft.log_power_stft(
+            _stage(audio.astype(np.float32)), self.hp.n_fft, self.hp.ws)
+        return jnp.swapaxes(spec, -1, -2)  # (T, 1025), device-resident
+
+    def _cond_starts(self, starts, n_valid: int, cond_mode: str, win: int):
+        """Host-side cond tile offsets; the device gather wraps them mod
+        n_valid (cyclic extension for audio shorter than the MIDI)."""
+        if cond_mode == "aligned":
+            # reference semantics: the WHOLE clip's spectrogram conditions
+            # the output (inference.py:55-62, forwarded unchunked at :82-84);
+            # per-tile chunks at each tile's own position are the statically
+            # shaped equivalent
+            return list(starts)
+        # center: one center crop for every tile (round-1 fallback). When
+        # the audio is shorter than a chunk the crop centers on the
+        # cyclically tiled spec (host semantics of rounds 1-2).
+        if n_valid < win:
+            tiled = -(-win // n_valid) * n_valid
+            start = (tiled - win) // 2
         else:
-            # per-tile aligned chunks: cyclically extend the cond spec to
-            # cover the last tile, then slice at each tile's own start
-            need = starts[-1] + win
-            if spec.shape[0] < need:
-                reps = -(-need // spec.shape[0])
-                spec = np.tile(spec, (reps, 1))
-            cond = np.stack([spec[s : s + win] for s in starts]).astype(np.float32)
-        return roll_chunks, onoff_chunks, cond, t_total
+            start = (n_valid - win) // 2
+        return [start] * len(starts)
+
+    def process_custom_midi_and_audio(self, midi_path: str, audio_path: str,
+                                      overlap: bool = True,
+                                      cond_mode: str = "aligned"):
+        """MIDI -> chunked (N,860,128) roll/onoff; audio -> conditioning spec.
+
+        HOST-CONTRACT compatibility method (returns NumPy arrays, including
+        the conditioning spec): use it when you want the arrays themselves.
+        The serving path (``inference`` / ``synthesize_waveform``) does NOT
+        route through it — conditioning stays on device there.
+
+        ``overlap=True`` tiles with 50% overlap; predictions are later
+        crossfade-blended (predict_spectrogram), avoiding seams at chunk
+        boundaries.
+
+        ``cond_mode``: "aligned" (default) gives each MIDI tile the cond
+        chunk at its own time position, cyclically extending short audio,
+        shaped (N, 860, 1025); "center" is one center crop broadcast to all
+        tiles, shaped (860, 1025).
+        """
+        if cond_mode not in ("aligned", "center"):
+            raise ValueError(f"cond_mode must be 'aligned' or 'center', got {cond_mode!r}")
+        roll_chunks, onoff_chunks, starts, t_total = self._chunk_midi(midi_path, overlap)
+        win = self.hp.windows_per_chunk
+        spec_dev = self._cond_spec_device(audio_path)
+        n_valid = int(spec_dev.shape[0])
+        if cond_mode == "center":
+            cstart = self._cond_starts(starts, n_valid, "center", win)[0]
+            cond = _fetch(_cond_tiles(spec_dev, jnp.asarray([cstart]), n_valid,
+                                      win=win))[0].astype(np.float32)
+        else:
+            cstarts = self._cond_starts(starts, n_valid, "aligned", win)
+            cond = _fetch(_cond_tiles(spec_dev, jnp.asarray(cstarts), n_valid,
+                                      win=win)).astype(np.float32)
+        return (roll_chunks.astype(np.float32), onoff_chunks.astype(np.float32),
+                cond, t_total)
 
     # ---- synthesis ------------------------------------------------------
+    def _predict_device(self, midi_path: str, audio_path: str,
+                        overlap: bool = True, cond_mode: str = "aligned"):
+        """Device-resident predict: returns ((l_out, bins) device spec, t_total).
+
+        Host->device: waveform + int8 MIDI tiles + index vectors. Everything
+        downstream (cond spec, tile gather, forward, crossfade blend) runs
+        in HBM. Tile count and output length are bucketed so repeat clips of
+        similar length reuse one compiled program.
+        """
+        if cond_mode not in ("aligned", "center"):
+            raise ValueError(f"cond_mode must be 'aligned' or 'center', got {cond_mode!r}")
+        hp = self.hp
+        win = hp.windows_per_chunk
+        roll_chunks, onoff_chunks, starts, t_total = self._chunk_midi(midi_path, overlap)
+        spec_dev = self._cond_spec_device(audio_path)
+        n_valid = int(spec_dev.shape[0])
+        cond_starts = self._cond_starts(starts, n_valid, cond_mode, win)
+
+        n = roll_chunks.shape[0]
+        n_pad = -(-n // 4) * 4  # bucket tile count: shared compiled forward
+        pad_n = n_pad - n
+
+        def padn(a, fill=0):
+            return np.pad(a, ((0, pad_n),) + ((0, 0),) * (a.ndim - 1),
+                          constant_values=fill)
+
+        starts_np = np.asarray(starts + [0] * pad_n, np.int32)
+        cond_starts_np = np.asarray(cond_starts + [0] * pad_n, np.int32)
+        valid = np.asarray([1.0] * n + [0.0] * pad_n, np.float32)
+        # output frame budget covers every (real or padded) tile write
+        l_out = int(starts_np.max()) + win
+        l_out = -(-l_out // (win // 2)) * (win // 2)
+
+        cond = _cond_tiles(spec_dev, _stage(cond_starts_np), n_valid, win=win)
+        run = _predict_blend_jit(self.model_cfg)
+        spec = run(self.params, _stage(padn(roll_chunks)),
+                   _stage(padn(onoff_chunks)), cond, _stage(starts_np),
+                   _stage(valid), jnp.int32(t_total), l_out=l_out)
+        return spec, t_total
+
     def predict_spectrogram(self, roll_chunks, onoff_chunks, cond, t_total) -> np.ndarray:
         """Batched jitted forward over all chunks -> (t_total, 1025) log-power spec.
 
-        Overlapping chunk predictions (process_custom_midi_and_audio) are
-        crossfade-blended with triangular weights, so chunk seams are smooth.
+        Host-contract method (NumPy in, NumPy out) over the same on-device
+        blend program the serving path uses. Overlapping chunk predictions
+        (process_custom_midi_and_audio) are crossfade-blended with triangular
+        weights, so chunk seams are smooth.
         """
         n, win = roll_chunks.shape[:2]
-        cond = np.asarray(cond)
-        if cond.ndim == 2:  # one chunk broadcast to all tiles (center mode)
-            cond_b = jnp.broadcast_to(jnp.asarray(cond), (n,) + cond.shape)
-        else:  # per-tile aligned conditioning (N, 860, 1025)
-            cond_b = jnp.asarray(cond)
-        if not hasattr(self, "_fwd_jit"):
-            # cached: a fresh jax.jit(lambda ...) per call would retrace and
-            # recompile on EVERY inference (jit caches by function identity)
-            self._fwd_jit = jax.jit(
-                lambda p, m, a, c: self.model.apply(p, m, a, c, deterministic=True))
-        # bucket the tile count to a multiple of 4 so clips of different
-        # lengths share one compiled forward (XLA compiles per static shape);
-        # padded tiles are zeros and their predictions are dropped
         n_pad = -(-n // 4) * 4
-        def padn(a):
-            return jnp.asarray(np.pad(np.asarray(a), ((0, n_pad - n),) + ((0, 0),) * (a.ndim - 1)))
-        pred = np.asarray(
-            self._fwd_jit(self.params, padn(roll_chunks), padn(cond_b),
-                          padn(onoff_chunks))
-        )[:n]
+        pad_n = n_pad - n
+
+        def padn(a, dtype):
+            a = np.asarray(a, dtype)
+            return np.pad(a, ((0, pad_n),) + ((0, 0),) * (a.ndim - 1))
+
+        cond = np.asarray(cond, np.float32)
+        if cond.ndim == 2:  # one chunk broadcast to all tiles (center mode)
+            cond_b = jnp.broadcast_to(_stage(cond), (n_pad,) + cond.shape)
+        else:  # per-tile aligned conditioning (N, 860, 1025)
+            cond_b = _stage(padn(cond, np.float32))
         starts = getattr(self, "_chunk_starts", None) or [i * win for i in range(n)]
-        length = max(s + win for s in starts)
-        j = np.arange(win, dtype=np.float32)
-        wgt = np.minimum(j + 1.0, win - j)[:, None]  # triangular crossfade
-        num = np.zeros((length, pred.shape[-1]), np.float32)
-        den = np.zeros((length, 1), np.float32)
-        for i, s in enumerate(starts):
-            num[s : s + win] += pred[i] * wgt
-            den[s : s + win] += wgt
-        return (num / np.maximum(den, 1e-9))[:t_total]
+        starts_np = np.asarray(list(starts) + [0] * pad_n, np.int32)
+        valid = np.asarray([1.0] * n + [0.0] * pad_n, np.float32)
+        l_out = int(starts_np.max()) + win
+        l_out = -(-l_out // (win // 2)) * (win // 2)
+        run = _predict_blend_jit(self.model_cfg)
+        spec = run(self.params, _stage(padn(roll_chunks, np.int8)),
+                   _stage(padn(onoff_chunks, np.int8)), cond_b,
+                   _stage(starts_np), _stage(valid), jnp.int32(t_total),
+                   l_out=l_out)
+        return _fetch(spec)[:t_total]
 
     # ---- whole-clip one-pass path (time-sharded across a mesh) ----------
     def process_whole_clip(self, midi_path: str, audio_path: str):
@@ -240,53 +441,65 @@ class AudioSynthesizer:
 
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), (axis_name,))
-        key = (t_total, axis_name,
-               tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat))
-        if getattr(self, "_ts_cache_key", None) != key:
-            self._ts_fn, self._ts_pad, self._ts_out = tsh.make_time_sharded_forward(
+        mesh_key = (axis_name, tuple(mesh.shape.items()),
+                    tuple(d.id for d in mesh.devices.flat))
+        fn_key = (self.model_cfg, t_total, mesh_key)
+        if fn_key not in _TS_FN_CACHE:
+            _TS_FN_CACHE[fn_key] = tsh.make_time_sharded_forward(
                 self.model_cfg, mesh, t_total, axis_name=axis_name)
-            # replicate params onto the mesh ONCE; re-gathering per call
-            # would move ~2.9 GB (flagship) over the host link every clip
-            self._ts_params = jax.device_put(
+        ts_fn, t_pad, t_out = _TS_FN_CACHE[fn_key]
+        p_key = (self._params_key, mesh_key)
+        if p_key not in _TS_PARAMS_CACHE:
+            # replicate params onto the mesh ONCE per (checkpoint, mesh);
+            # re-gathering per call/instance would move ~2.9 GB (flagship)
+            # over the host link every clip (round-2 verdict #7)
+            _TS_PARAMS_CACHE[p_key] = jax.device_put(
                 jax.device_get(self.params),
                 jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
-            self._ts_cache_key = key
-        t_pad = self._ts_pad
+        ts_params = _TS_PARAMS_CACHE[p_key]
 
         def pad_shard(a):
             p = np.zeros((1, t_pad, a.shape[-1]), np.float32)
             p[:, : a.shape[0]] = a
             return tsh.shard_time(jnp.asarray(p), mesh, axis_name)
 
-        out = self._ts_fn(self._ts_params, pad_shard(roll),
-                          pad_shard(cond_spec), pad_shard(onoff))
-        return np.asarray(out)[0, : self._ts_out]
+        out = ts_fn(ts_params, pad_shard(roll), pad_shard(cond_spec),
+                    pad_shard(onoff))
+        return np.asarray(out)[0, :t_out]
+
+    def synthesize_waveform(self, n_iter: int = 300, overlap: bool = True,
+                            cond_mode: str = "aligned") -> np.ndarray:
+        """Full device-resident synthesis: MIDI+audio -> waveform (host np).
+
+        The predicted spectrogram is handed straight to on-device
+        Griffin-Lim; the only spectrogram-sized tensors that ever cross the
+        host link are... none. Uploads: waveform + int8 MIDI tiles;
+        download: the synthesized waveform.
+        """
+        spec, t_total = self._predict_device(
+            self.midi_source, self.audio_source, overlap=overlap,
+            cond_mode=cond_mode)
+        # trim the GL input to the true-length bucket (multiple of half a
+        # chunk): repeated similar-length clips reuse one compiled GL, and
+        # GL never iterates over frames the tile bucketing padded in
+        win = self.hp.windows_per_chunk
+        bucket = win // 2
+        t_gl = min(int(spec.shape[0]), -(-t_total // bucket) * bucket)
+        wav = jgl.griffinlim_from_log_power(
+            jnp.swapaxes(spec[:t_gl], -1, -2), key=jax.random.PRNGKey(0),
+            n_iter=n_iter, hop_length=self.hp.ws,
+            clip_max=self.hp.clip_log_power_max,
+        )
+        return _fetch(wav)[: t_total * self.hp.ws]
 
     def inference(self, n_iter: int = 300, output_dir: str | None = None,
                   overlap: bool = True, cond_mode: str = "aligned") -> list[str]:
         """Full path (reference inference.py:74-91): predict spec -> Griffin-Lim
         on device -> write output-{i}.wav into an auto-numbered directory."""
-        chunks = self.process_custom_midi_and_audio(
-            self.midi_source, self.audio_source, overlap=overlap,
-            cond_mode=cond_mode,
-        )
         print("Inferencing spectrogram......")
-        spec = self.predict_spectrogram(*chunks)
+        wav = self.synthesize_waveform(n_iter=n_iter, overlap=overlap,
+                                       cond_mode=cond_mode)
         out_dir = output_dir or self.create_output_dir()
-        # bucket the frame count to a multiple of half a chunk so repeated
-        # inferences of similar-length clips reuse one compiled Griffin-Lim
-        # (XLA compiles per static shape); padded frames are silence and the
-        # surplus samples are trimmed after synthesis
-        t = spec.shape[0]
-        bucket = self.hp.windows_per_chunk // 2
-        t_pad = -(-t // bucket) * bucket
-        spec_padded = np.pad(spec, ((0, t_pad - t), (0, 0)))
-        wav = np.asarray(
-            jgl.griffinlim_from_log_power(
-                jnp.asarray(spec_padded.T), key=jax.random.PRNGKey(0), n_iter=n_iter,
-                hop_length=self.hp.ws, clip_max=self.hp.clip_log_power_max,
-            )
-        )[: t * self.hp.ws]
         path = os.path.join(out_dir, "output-1.wav")
         audio_io.write_wav(path, wav, self.hp.sr)
         return [path]
@@ -305,7 +518,7 @@ class AudioSynthesizer:
     def griffinlim(self, spectrogram: np.ndarray, n_iter: int = 300) -> np.ndarray:
         """Log-power spec (bins, frames) -> waveform, on-device
         (reference inference.py:105-110 signature equivalent)."""
-        return np.asarray(
+        return _fetch(
             jgl.griffinlim_from_log_power(
                 jnp.asarray(spectrogram), key=jax.random.PRNGKey(0),
                 n_iter=n_iter, hop_length=self.hp.ws,

@@ -1,10 +1,13 @@
 """End-to-end synthesis (serving) benchmark on the real TPU.
 
-Measures the full inference path of AudioSynthesizer — MIDI/audio processing
-(host), chunk-tiled batched forward (TPU), Griffin-Lim 300 (TPU) — for a
-30 s clip at flagship width, steady-state (compile excluded via a warm-up
-clip of the same bucketed shapes). Reference equivalent: model/inference.py
-main() (eager CPU torch + librosa GL).
+Measures the DEVICE-RESIDENT inference path of AudioSynthesizer — MIDI parse
+(host), waveform upload, on-device cond spec + tile gather + forward +
+crossfade blend + Griffin-Lim 300, waveform download — for a 30 s clip at
+flagship width, steady-state (compile excluded via warm-up runs of the same
+bucketed shapes). Reference equivalent: model/inference.py main() (eager CPU
+torch + librosa GL). Round-2 measured the host-blend path at 6.7 s/30 s clip
+of which ~2.5 s was spectrogram transfers on this ~0.05 GB/s link; the
+device-resident path moves only waveforms + int8 MIDI tiles.
 
 Usage: python scripts/bench_inference.py [--width-mult 1.0] [--seconds 30]
 """
@@ -59,25 +62,28 @@ def main():
 
     def run():
         t0 = time.perf_counter()
-        chunks = synth.process_custom_midi_and_audio(midi_path, wav_path)
-        t1 = time.perf_counter()
-        spec = synth.predict_spectrogram(*chunks)
-        t2 = time.perf_counter()
-        wav = synth.griffinlim(
-            np.pad(spec, ((0, -(-spec.shape[0] // 430) * 430 - spec.shape[0]),
-                          (0, 0))).T, n_iter=args.n_iter)
+        wav = synth.synthesize_waveform(n_iter=args.n_iter)
         _ = float(np.abs(wav).max())
-        t3 = time.perf_counter()
-        return t1 - t0, t2 - t1, t3 - t2, wav
+        t1 = time.perf_counter()
+        return t1 - t0, wav
 
-    for i in range(3):  # warm-up (compile) + 2 steady-state
-        th, tf, tg, wav = run()
-        total = th + tf + tg
+    for i in range(4):  # warm-ups (compile + donation relayout) + steady-state
+        total, wav = run()
         tag = "compile+run" if i == 0 else "steady"
-        print(f"[{tag}] host-process {th*1e3:7.1f} ms | forward {tf*1e3:7.1f} ms "
-              f"| GL{args.n_iter} {tg*1e3:7.1f} ms | total {total:6.2f} s "
+        print(f"[{tag}] device-resident total {total:6.2f} s "
               f"({args.seconds/total:4.1f}x realtime)", flush=True)
     assert np.all(np.isfinite(wav)) and np.abs(wav).max() > 0
+
+    # phase breakdown (each phase ended by a tiny sync for honest timing)
+    t0 = time.perf_counter()
+    spec, t_total = synth._predict_device(midi_path, wav_path)
+    _ = float(spec[0, 0])
+    t1 = time.perf_counter()
+    wav = synth.synthesize_waveform(n_iter=args.n_iter)
+    t2 = time.perf_counter()
+    print(f"[phases] process+forward+blend {t1-t0:5.2f} s | "
+          f"full synth (incl. GL{args.n_iter} + download) {t2-t1:5.2f} s",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -91,27 +91,28 @@ class TestSynthesizer:
         seam = diffs[425:435].max()
         assert seam < diffs.max() * 1.5 + 1e-6
 
-    def test_forward_jit_cached_across_calls(self, fake_experiment, user_inputs):
-        """Serving regression: repeat inferences reuse ONE compiled forward —
-        the jit wrapper is cached on the synthesizer and tile counts are
-        bucketed to multiples of 4 so different clip lengths share a shape."""
+    def test_serving_caches_shared_across_instances(self, fake_experiment,
+                                                    user_inputs):
+        """Serving-process hygiene (round-2 verdict #7): a SECOND synthesizer
+        for the same experiment must reuse the module-level compiled forward
+        and the device-resident param tree — no recompile, no re-upload."""
+        from ml_music_style_transfer_tpu.infer import synthesize as S
         midi_path, wav_path = user_inputs
-        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
-        chunks = synth.process_custom_midi_and_audio(midi_path, wav_path, overlap=True)
-        synth.predict_spectrogram(*chunks)
-        fwd = synth._fwd_jit
-        n1 = fwd._cache_size()
-        # second call, non-overlap tiling (different tile count, same bucket
-        # after padding when both round to the same multiple of 4)
-        chunks2 = synth.process_custom_midi_and_audio(midi_path, wav_path,
-                                                      overlap=False)
-        synth.predict_spectrogram(*chunks2)
-        assert synth._fwd_jit is fwd  # wrapper reused, no per-call jit
-        n_over = -(-chunks[0].shape[0] // 4) * 4
-        n_nonover = -(-chunks2[0].shape[0] // 4) * 4
-        expect = 1 if n_over == n_nonover else 2
-        assert fwd._cache_size() == max(n1, expect), (
-            n1, fwd._cache_size(), n_over, n_nonover)
+        s1 = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
+        chunks = synth_chunks = s1.process_custom_midi_and_audio(
+            midi_path, wav_path, overlap=True)
+        s1.predict_spectrogram(*chunks)
+        run = S._predict_blend_jit(TINY)
+        n1 = run._cache_size()
+        assert n1 >= 1
+        # second instance, same experiment: shared params object, shared jit
+        s2 = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
+        assert s2.params is s1.params, "params re-loaded/re-uploaded"
+        assert S._predict_blend_jit(s2.model_cfg) is run
+        chunks2 = s2.process_custom_midi_and_audio(midi_path, wav_path,
+                                                   overlap=True)
+        s2.predict_spectrogram(*chunks2)
+        assert run._cache_size() == n1, "second instance recompiled the forward"
 
     def test_output_dir_autonumber(self, fake_experiment, user_inputs):
         midi_path, wav_path = user_inputs
@@ -136,6 +137,94 @@ class TestSynthesizer:
                                                  cond_mode="center")[2]
         assert c2.shape == (860, 1025)
         assert np.all(np.isfinite(c2))
+
+
+class TestDeviceResidentServing:
+    """Round-3 serving contract: everything after read_wav stays on device.
+    Host->device = waveform + int8 MIDI tiles + index vectors; device->host =
+    the synthesized waveform. No spectrogram-sized transfer anywhere
+    (round-2 verdict #1; reference contract model/inference.py:74-110)."""
+
+    def test_no_spectrogram_sized_transfers(self, fake_experiment, user_inputs):
+        from ml_music_style_transfer_tpu.infer import synthesize as S
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path,
+                                 model_cfg=TINY)
+        log = []
+        S.TRANSFER_LOG = log
+        try:
+            wav = synth.synthesize_waveform(n_iter=2)
+        finally:
+            S.TRANSFER_LOG = None
+        assert np.all(np.isfinite(wav)) and len(wav) > 44100
+        # the 8 s clip's predicted spectrogram is ~1376*1025*4 B; every
+        # individual crossing must be well under it (waveform/MIDI-sized)
+        spec_bytes = 1376 * 1025 * 4
+        assert log, "no transfers recorded — seams not exercised"
+        for direction, nbytes in log:
+            assert nbytes < 0.5 * spec_bytes, (direction, nbytes)
+        up = sum(n for d, n in log if d == "h2d")
+        down = sum(n for d, n in log if d == "d2h")
+        # total traffic stays in waveform territory, not spectrogram territory
+        assert up < 1.2 * spec_bytes, up
+        assert down < 0.5 * spec_bytes, down
+
+    def test_device_path_matches_host_contract_path(self, fake_experiment,
+                                                    user_inputs):
+        """The device-resident predict must equal the host-contract
+        process_custom_midi_and_audio + predict_spectrogram composition."""
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path,
+                                 model_cfg=TINY)
+        for mode in ("aligned", "center"):
+            chunks = synth.process_custom_midi_and_audio(
+                midi_path, wav_path, overlap=True, cond_mode=mode)
+            want = synth.predict_spectrogram(*chunks)
+            spec_dev, t_total = synth._predict_device(
+                midi_path, wav_path, overlap=True, cond_mode=mode)
+            got = np.asarray(spec_dev)[:t_total]
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5,
+                                       err_msg=mode)
+
+    def test_on_device_blend_matches_numpy_reference_blend(
+            self, fake_experiment, user_inputs):
+        """The jitted scatter-add crossfade equals the round-2 NumPy blend
+        (triangular weights, normalized, trimmed to the MIDI length)."""
+        import jax.numpy as jnp
+        from ml_music_style_transfer_tpu.infer import synthesize as S
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path,
+                                 model_cfg=TINY)
+        r, o, c, t_total = synth.process_custom_midi_and_audio(
+            midi_path, wav_path, overlap=True)
+        got = synth.predict_spectrogram(r, o, c, t_total)
+        # reference blend in NumPy over per-tile forward outputs
+        fwd = S._fwd_jit(TINY)
+        pred = np.asarray(fwd(synth.params, jnp.asarray(r), jnp.asarray(c),
+                              jnp.asarray(o)), np.float32)
+        starts = synth._chunk_starts
+        n, win = r.shape[:2]
+        length = max(s + win for s in starts)
+        j = np.arange(win, dtype=np.float32)
+        wgt = np.minimum(j + 1.0, win - j)[:, None]
+        num = np.zeros((length, pred.shape[-1]), np.float32)
+        den = np.zeros((length, 1), np.float32)
+        for i, s in enumerate(starts):
+            num[s : s + win] += pred[i] * wgt
+            den[s : s + win] += wgt
+        want = (num / np.maximum(den, 1e-9))[:t_total]
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+    def test_synthesize_waveform_end_to_end(self, fake_experiment, user_inputs):
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path,
+                                 model_cfg=TINY)
+        wav = synth.synthesize_waveform(n_iter=3)
+        r, o, c, t_total = synth.process_custom_midi_and_audio(
+            midi_path, wav_path)
+        assert len(wav) == t_total * 256
+        assert np.all(np.isfinite(wav)) and np.abs(wav).max() > 0
 
 
 class TestWholeClipConditioning:
