@@ -73,6 +73,29 @@ class _TempoMap:
         return self.times[i] + (tick - self.ticks[i]) * self.tempi[i] / (1e6 * self.tpq)
 
 
+class _SmpteMap:
+    """Tick -> seconds for SMPTE-division files: absolute time, tempo-free.
+
+    SMF header division with bit 15 set encodes (-fps, ticks_per_frame);
+    a tick is 1/(fps*tpf) seconds regardless of tempo meta events
+    (which only apply to metrical division). fps code 29 means the NTSC
+    drop-frame rate 29.97, matching pretty_midi/mido's convention
+    (the reference accepts such files via pretty_midi,
+    reference preprocessing/preprocess.py:146)."""
+
+    def __init__(self, division: int):
+        fps = 256 - ((division >> 8) & 0xFF)  # two's-complement negative byte
+        if fps == 29:
+            fps = 29.97
+        tpf = division & 0xFF
+        if tpf == 0:
+            raise ValueError("SMPTE division with 0 ticks per frame")
+        self.seconds_per_tick = 1.0 / (fps * tpf)
+
+    def tick_to_time(self, tick: int) -> float:
+        return tick * self.seconds_per_tick
+
+
 def _parse_track(data: bytes) -> Tuple[List[Tuple[int, int, int, int]], List[Tuple[int, int]]]:
     """Parse one MTrk chunk body.
 
@@ -133,8 +156,6 @@ def parse_midi_bytes(raw: bytes) -> MidiFile:
         raise ValueError("not a MIDI file (missing MThd)")
     hlen = struct.unpack(">I", raw[4:8])[0]
     fmt, ntrks, division = struct.unpack(">HHH", raw[8:14])
-    if division & 0x8000:
-        raise NotImplementedError("SMPTE time division not supported")
     pos = 8 + hlen
 
     all_note_events: List[List[Tuple[int, int, int, int]]] = []
@@ -150,7 +171,10 @@ def parse_midi_bytes(raw: bytes) -> MidiFile:
         tempo_events.extend(tempi)
 
     tempo_events.sort()
-    tmap = _TempoMap(tempo_events, division)
+    if division & 0x8000:
+        tmap = _SmpteMap(division)
+    else:
+        tmap = _TempoMap(tempo_events, division)
 
     notes: List[Note] = []
     for track_events in all_note_events:

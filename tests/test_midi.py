@@ -63,6 +63,57 @@ class TestSMFRoundTrip:
         mf = parser.parse_midi_bytes(raw)
         assert abs(mf.notes[0].end - 1.0) < 2e-3
 
+    def _smpte_file(self, fps_byte, tpf, events):
+        """Hand-assemble a format-0 SMF with SMPTE division.
+
+        ``events``: [(delta_ticks, status, data...)]. The golden timing
+        model is pretty_midi/mido's: tick = 1/(fps*tpf) s, fps code 29
+        = 29.97 (reference accepts these via pretty_midi,
+        preprocess.py:146)."""
+        import struct
+        division = ((256 - fps_byte) << 8) | tpf  # e.g. -25 -> 0xE7
+
+        def varlen(v):
+            out = [v & 0x7F]
+            v >>= 7
+            while v:
+                out.append(0x80 | (v & 0x7F))
+                v >>= 7
+            return bytes(reversed(out))
+
+        track = b""
+        for delta, *msg in events:
+            track += varlen(delta) + bytes(msg)
+        track += bytes([0, 0xFF, 0x2F, 0x00])  # end of track
+        return (b"MThd" + struct.pack(">IHHH", 6, 0, 1, division)
+                + b"MTrk" + struct.pack(">I", len(track)) + track)
+
+    def test_smpte_division_timing(self):
+        # 25 fps x 40 ticks/frame = 1000 ticks/sec: note on at tick 0,
+        # off after 200 ticks = 0.2 s exactly
+        raw = self._smpte_file(25, 40, [
+            (0, 0x90, 60, 100),
+            (200, 0x80, 60, 0),
+        ])
+        mf = parser.parse_midi_bytes(raw)
+        assert len(mf.notes) == 1
+        n = mf.notes[0]
+        assert n.pitch == 60 and n.velocity == 100
+        assert abs(n.start - 0.0) < 1e-9
+        assert abs(n.end - 0.2) < 1e-9
+
+    def test_smpte_ignores_tempo_meta_and_handles_drop_frame(self):
+        # tempo meta events must NOT affect SMPTE timing (absolute-time
+        # division); fps code 29 means NTSC 29.97
+        raw = self._smpte_file(29, 100, [
+            (0, 0xFF, 0x51, 0x03, 0x0F, 0x42, 0x40),  # tempo 1e6 us/qn (ignored)
+            (0, 0x90, 72, 64),
+            (150, 0x80, 72, 0),
+        ])
+        mf = parser.parse_midi_bytes(raw)
+        n = mf.notes[0]
+        assert abs(n.end - 150 / (29.97 * 100)) < 1e-9
+
 
 class TestPianoroll:
     def test_roll_rasterization(self):
