@@ -1,0 +1,119 @@
+"""Bulk (multi-clip) synthesis scaled out over the data mesh.
+
+The reference synthesizes one clip at a time on one device
+(model/inference.py:74-110). On a single chip the per-clip optimum is
+already in ops/griffinlim.py (a 10 s clip saturates the chip; the 3D path
+lax.maps clips sequentially through one dispatch). This module adds the
+multi-chip scale-out that path defers to: shard a BATCH of clips over the
+mesh's ``data`` axis so each device runs its local clips with the
+per-chip-optimal program — clip throughput scales ~linearly with the data
+axis because the work is embarrassingly parallel (no collectives in the GL
+loop; the forward is ordinary GSPMD data parallelism).
+
+Phase seeds are explicit and per-clip, so results are independent of how
+many devices the batch is sharded over (parity-tested on the virtual mesh,
+tests/test_bulk_synthesis.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig, DSPConfig, DEFAULT_DSP
+from ..ops import griffinlim as jgl
+
+
+def _data_axes(mesh: Mesh):
+    """The batch-sharding axes of a (data[,model]) or (dcn,data,model) mesh."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else ("data",)
+
+
+@functools.lru_cache(maxsize=None)
+def _bulk_gl_jit(mesh_key, axes, n_iter: int, hop_length: int, clip_max: float):
+    mesh = _MESHES[mesh_key]
+
+    def local(specs, seeds):
+        # per-device: the per-chip-optimal sequential map over local clips
+        def one(args):
+            spec, seed = args
+            return jgl.griffinlim_from_log_power(
+                spec, key=jax.random.PRNGKey(seed), n_iter=n_iter,
+                hop_length=hop_length, clip_max=clip_max)
+
+        return jax.lax.map(one, (specs, seeds))
+
+    spec_p = P(axes, None, None)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec_p, P(axes)),
+                   out_specs=P(axes, None))
+    return jax.jit(fn)
+
+
+# jit-cache-friendly mesh registry: Mesh objects are unhashable across
+# re-creation, so cache programs by the mesh's structural identity
+_MESHES: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat),
+           mesh.axis_names)
+    _MESHES[key] = mesh
+    return key
+
+
+def bulk_griffinlim(specs, seeds, mesh: Mesh | None = None, n_iter: int = 300,
+                    hop_length: int = 256, clip_max: float = 20.0):
+    """(N, bins, frames) log-power specs -> (N, samples) waveforms, with the
+    clip batch sharded over the mesh's data axes.
+
+    ``seeds``: (N,) int32 per-clip phase-init seeds — explicit so output is
+    bit-identical for any device count. N must divide by the data axes'
+    product. With ``mesh=None`` builds a 1-device degenerate mesh (the
+    single-chip behavior, same program).
+    """
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    axes = _data_axes(mesh)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
+    specs = jnp.asarray(specs)
+    seeds = jnp.asarray(seeds, jnp.int32)
+    if specs.shape[0] % n_shards:
+        raise ValueError(
+            f"clip batch {specs.shape[0]} must divide the data axes product "
+            f"{n_shards} (pad the batch or change the mesh)")
+    sharding = NamedSharding(mesh, P(axes, None, None))
+    specs = jax.device_put(specs, sharding)
+    seeds = jax.device_put(seeds, NamedSharding(mesh, P(axes)))
+    fn = _bulk_gl_jit(_mesh_key(mesh), axes, n_iter, hop_length, clip_max)
+    return fn(specs, seeds)
+
+
+def bulk_synthesize(model_cfg: ModelConfig, params, roll, onoff, cond,
+                    mesh: Mesh | None = None, n_iter: int = 300,
+                    hp: DSPConfig = DEFAULT_DSP):
+    """Forward + Griffin-Lim for a batch of single-chunk clips, data-parallel
+    over the mesh.
+
+    ``roll``/``onoff``: (N, 860, 128); ``cond``: (N, 860, 1025). Returns
+    (N, samples) waveforms. The forward is ordinary GSPMD DP (batch-sharded
+    jit of the deterministic model); GL scales out via bulk_griffinlim.
+    """
+    from .synthesize import _fwd_jit
+
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    axes = _data_axes(mesh)
+    bs = NamedSharding(mesh, P(axes))
+    def put(x):
+        return jax.device_put(jnp.asarray(x, jnp.float32), bs)
+    pred = _fwd_jit(model_cfg)(params, put(roll), put(cond), put(onoff))
+    specs = jnp.swapaxes(pred, -1, -2)  # (N, bins, frames)
+    seeds = jnp.arange(specs.shape[0], dtype=jnp.int32)
+    return bulk_griffinlim(specs, seeds, mesh=mesh, n_iter=n_iter,
+                           hop_length=hp.ws, clip_max=hp.clip_log_power_max)
