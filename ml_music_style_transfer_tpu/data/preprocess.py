@@ -94,6 +94,31 @@ def _write_debug_samples(debug_dir, song_id, step, hp, style=None, audio_chunk=N
         midi_writer.save(os.path.join(debug_dir, f"{song_id}_c{step}.mid"), notes)
 
 
+def discover_song_ids(data_dir: str, ext: str = "mixcraft") -> list[int]:
+    """Song ids present in a user-supplied dataset dir.
+
+    The reference hard-codes its MusicNet id list (preprocess.py:28-34);
+    for arbitrary user data dirs the ids are recovered from the
+    ``{id}*{ext}.mid`` naming contract (preprocess.py:140 glob)."""
+    ids = set()
+    for p in glob.glob(os.path.join(data_dir, f"*{ext}.mid")):
+        head = os.path.basename(p).split("_")[0]
+        if head.isdigit():
+            ids.add(int(head))
+    return sorted(ids)
+
+
+def discover_styles(data_dir: str) -> list[str]:
+    """Timbre styles present in a dataset dir: the final underscore token of
+    each ``{id}_..._{style}.wav`` (reference naming, preprocess.py:100)."""
+    styles = set()
+    for p in glob.glob(os.path.join(data_dir, "*.wav")):
+        stem = os.path.basename(p)[: -len(".wav")]
+        if "_" in stem:
+            styles.add(stem.rsplit("_", 1)[1])
+    return sorted(styles)
+
+
 def get_data(
     data_dir: str,
     dataset_outpath: str,

@@ -164,6 +164,50 @@ class TestBatchAssembly:
         assert styles_seen_across_batches == set(ds.styles)
 
 
+class TestRealDataCheck:
+    """Plumbing for scripts/real_data_check.py (round-2 verdict #3: real-data
+    readiness as a tested property). MusicNet itself is absent from this
+    image, so CI drives the script with the synthetic dir and asserts the
+    skip path is clean."""
+
+    def test_discovery_helpers(self, synth_dir):
+        assert pp.discover_song_ids(synth_dir) == [101, 202]
+        assert pp.discover_styles(synth_dir) == ["cuba", "upright"]
+
+    def test_skips_cleanly_without_data(self, tmp_path, capsys):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "real_data_check",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "scripts", "real_data_check.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        result = mod.main(["--data-dir", "", "--out", str(tmp_path / "r.json")])
+        assert result["skipped"] is True
+        result = mod.main(["--data-dir", str(tmp_path),  # empty dir
+                           "--out", str(tmp_path / "r.json")])
+        assert result["skipped"] is True
+
+    def test_full_check_on_synthetic_dir(self, synth_dir, tmp_path):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "real_data_check",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "scripts", "real_data_check.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out = str(tmp_path / "r.json")
+        result = mod.main(["--data-dir", synth_dir, "--width-mult", "0.0625",
+                           "--steps", "12", "--batch-size", "2",
+                           "--n-iter", "8", "--out", out,
+                           "--workdir", str(tmp_path / "wk")])
+        assert result["skipped"] is False
+        assert result["n_chunks"] > 0
+        assert result["train_l1_last"] < result["train_l1_first"]
+        assert result["synth_finite"]
+        assert os.path.exists(out)
+
+
 class TestMusicNetCuration:
     def test_piano_filter(self, tmp_path, monkeypatch):
         labels = tmp_path / "train_labels"
