@@ -48,9 +48,17 @@ def random_song(
 
 
 def render_notes(
-    notes: Sequence[Note], style: str, sr: int = 44100, duration: float | None = None
+    notes: Sequence[Note], style: str, sr: int = 44100,
+    duration: float | None = None, normalize: str = "peak",
 ) -> np.ndarray:
-    """Additive-synthesis rendering of notes with a style-specific timbre."""
+    """Additive-synthesis rendering of notes with a style-specific timbre.
+
+    ``normalize``: "peak" (default; 0.5 peak, the round-1/2 behavior) or
+    "rms" — equal loudness (RMS 0.05) across styles, so style-discrimination
+    gates face the same bar in both directions instead of the louder style
+    discriminating first (round-2 verdict #5: the peak-normalized styles'
+    RMS differ ~3x because decay rates differ).
+    """
     harmonics, decay = STYLE_TIMBRES[style]
     if duration is None:
         duration = max((n.end for n in notes), default=1.0) + 0.5
@@ -70,9 +78,19 @@ def render_notes(
             if f0 * k < sr / 2:
                 seg += amp * np.sin(2 * np.pi * f0 * k * t)
         y[s:e] += env * seg
-    peak = np.max(np.abs(y))
-    if peak > 0:
-        y = 0.5 * y / peak
+    if normalize == "peak":
+        peak = np.max(np.abs(y))
+        if peak > 0:
+            y = 0.5 * y / peak
+    elif normalize == "rms":
+        rms = float(np.sqrt(np.mean(y * y)))
+        if rms > 0:
+            y = y * (0.05 / rms)
+        peak = np.max(np.abs(y))
+        if peak > 0.99:  # guard the 16-bit writer's clip; rare at RMS 0.05
+            y = y * (0.99 / peak)
+    else:
+        raise ValueError(f"unknown normalize {normalize!r}")
     return y.astype(np.float32)
 
 
@@ -83,6 +101,7 @@ def make_dataset_dir(
     duration: float = 20.0,
     sr: int = 44100,
     seed: int = 0,
+    normalize: str = "peak",
 ) -> str:
     """Write ``{id}_mixcraft.mid`` + ``{id}_{style}.wav`` per song into out_dir."""
     os.makedirs(out_dir, exist_ok=True)
@@ -91,6 +110,6 @@ def make_dataset_dir(
         notes = random_song(rng, duration)
         midi_writer.save(os.path.join(out_dir, f"{song_id}_mixcraft.mid"), notes)
         for style in styles:
-            y = render_notes(notes, style, sr, duration)
+            y = render_notes(notes, style, sr, duration, normalize=normalize)
             write_wav(os.path.join(out_dir, f"{song_id}_{style}.wav"), y, sr)
     return out_dir

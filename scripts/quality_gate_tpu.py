@@ -63,10 +63,14 @@ def main():
     from ml_music_style_transfer_tpu.train.loop import Trainer
 
     styles = ["gentleman", "harpsichord"]
-    root = "/tmp/qgate_tpu"
+    root = "/tmp/qgate_tpu_r3"  # rms-normalized dataset (round-3 gate)
     if not os.path.exists(root + "/ds_train.hdf5"):
+        # loudness-balanced styles (normalize="rms"): both discrimination
+        # directions face the same bar — the round-2 peak-normalized mix let
+        # the louder style discriminate first, leaving slack in the 0.9 bar
+        # (round-2 verdict #5); the bar below is tightened accordingly
         synthetic.make_dataset_dir(root + "/raw", song_ids=[11, 12], styles=styles,
-                                   duration=60.0, seed=8)
+                                   duration=60.0, seed=8, normalize="rms")
         pp.get_data(root + "/raw", root + "/ds", "train", song_ids=[11, 12],
                     styles=styles, store_audio=True)
     store = DeviceDataStore(root + "/ds_train.hdf5", seed=0,
@@ -136,7 +140,48 @@ def main():
     paa, pab, pbb, pba = map(float, (paa, pab, pbb, pba))
     log(f"held-out L1 — cond A: own={paa:.4f} other={pab:.4f} r={paa/pab:.3f}")
     log(f"held-out L1 — cond B: own={pbb:.4f} other={pba:.4f} r={pbb/pba:.3f}")
-    disc_a, disc_b = paa < 0.9 * pab, pbb < 0.9 * pba
+    # tightened from 0.9 (round 2): with rms-balanced styles both directions
+    # cleared ~0.5 at the 2000-epoch budget, so 0.8 still leaves headroom
+    disc_a, disc_b = paa < 0.8 * pab, pbb < 0.8 * pba
+
+    # ---- conditioning-value proof: aligned must beat center --------------
+    # (round-2 verdict #5: prove whole-clip aligned conditioning buys
+    # quality.) A 15 s clip whose timbre is style A ONLY in the middle 5 s
+    # and style B outside: "center" sees just the middle crop and paints A
+    # everywhere; "aligned" tracks the local timbre. The ideal output is the
+    # spliced rendering's own spec (cond plays the same MIDI here).
+    from ml_music_style_transfer_tpu.data import audio_io
+    from ml_music_style_transfer_tpu.infer.synthesize import AudioSynthesizer
+    from ml_music_style_transfer_tpu.midi import writer as midi_writer
+    from ml_music_style_transfer_tpu.testing.synthetic import (random_song,
+                                                               render_notes)
+
+    rng2 = np.random.default_rng(99)
+    dur = 15.0
+    notes = random_song(rng2, duration=dur)
+    wav_a = render_notes(notes, styles[0], 44100, dur, normalize="rms")
+    wav_b = render_notes(notes, styles[1], 44100, dur, normalize="rms")
+    spliced = wav_b.copy()
+    n = len(spliced)
+    mid = slice((n - 5 * 44100) // 2, (n - 5 * 44100) // 2 + 5 * 44100)
+    spliced[mid] = wav_a[mid]
+    midi_path, wav_path = root + "/proof.mid", root + "/proof.wav"
+    midi_writer.save(midi_path, notes)
+    audio_io.write_wav(wav_path, spliced, 44100)
+    synth = AudioSynthesizer(root, midi_path, wav_path, model_cfg=model_cfg,
+                             params=params)
+    target_spec = jnp.swapaxes(
+        jstft.log_power_stft(jnp.asarray(spliced), hp.n_fft, hp.ws), -1, -2)
+
+    def cond_probe(mode):
+        spec_dev, t_tot = synth._predict_device(midi_path, wav_path,
+                                                overlap=True, cond_mode=mode)
+        t = min(t_tot, target_spec.shape[0])
+        return float(jnp.mean(jnp.abs(spec_dev[:t] - target_spec[:t])))
+
+    l_aligned, l_center = cond_probe("aligned"), cond_probe("center")
+    log(f"cond proof: aligned L1={l_aligned:.4f} center L1={l_center:.4f}")
+    aligned_beats_center = l_aligned < l_center
 
     # ---- Griffin-Lim floor on the predicted spectrogram -------------------
     pred = np.asarray(pred_b, np.float32)  # (860, 1025)
@@ -163,9 +208,14 @@ def main():
         "heldout_l1_condB_other": round(pba, 4),
         "style_discrimination_A": bool(disc_a),
         "style_discrimination_B": bool(disc_b),
+        "discrimination_bar": 0.8,
+        "styles_normalized": "rms",
+        "cond_aligned_l1": round(l_aligned, 4),
+        "cond_center_l1": round(l_center, 4),
+        "aligned_beats_center": bool(aligned_beats_center),
         "gl_rel_err": round(gl_rel, 4),
         "passed": bool(disc_a and disc_b and finite and gl_rel < 0.6
-                       and last10 < 0.5 * first10),
+                       and last10 < 0.5 * first10 and aligned_beats_center),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "QUALITY_GATE_TPU.json")

@@ -83,6 +83,26 @@ def trained(tmp_path_factory):
 
 
 @pytest.mark.slow
+class TestLoudnessBalance:
+    def test_rms_normalized_styles_equal_loudness(self):
+        """normalize='rms' renders all styles at the same RMS (round-2
+        verdict #5: the TPU gate's discrimination directions must face the
+        same bar; peak normalization left ~3x RMS spread)."""
+        rng = np.random.default_rng(4)
+        notes = synthetic.random_song(rng, duration=10.0)
+        rms = {}
+        for style in synthetic.STYLE_TIMBRES:
+            y = synthetic.render_notes(notes, style, 44100, 10.0,
+                                       normalize="rms")
+            rms[style] = float(np.sqrt(np.mean(y ** 2)))
+            assert np.abs(y).max() <= 0.99 + 1e-6  # 16-bit writer safe
+        vals = np.array(list(rms.values()))
+        assert vals.max() / vals.min() < 1.02, rms
+        # default stays the round-1/2 peak behavior
+        y_peak = synthetic.render_notes(notes, "harpsichord", 44100, 10.0)
+        assert abs(float(np.abs(y_peak).max()) - 0.5) < 1e-6
+
+
 class TestQualityGate:
     def test_training_converged(self, trained):
         _, _, _, _, _, losses = trained
