@@ -74,7 +74,10 @@ def main():
               f"({args.seconds/total:4.1f}x realtime)", flush=True)
     assert np.all(np.isfinite(wav)) and np.abs(wav).max() > 0
 
-    # phase breakdown (each phase ended by a tiny sync for honest timing)
+    # phase breakdown (each phase ended by a tiny sync for honest timing;
+    # one cold pass first so the probe's scalar-fetch program is compiled)
+    spec, t_total = synth._predict_device(midi_path, wav_path)
+    _ = float(spec[0, 0])
     t0 = time.perf_counter()
     spec, t_total = synth._predict_device(midi_path, wav_path)
     _ = float(spec[0, 0])
