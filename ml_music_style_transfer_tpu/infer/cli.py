@@ -39,6 +39,10 @@ def main(argv=None) -> None:
                         "'center': one center 5s crop broadcast to all tiles")
     args = p.parse_args(argv)
 
+    from ..utils.profiling import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()  # serving restarts skip ~8 min compiles
+
     exp_dir = os.path.join(os.path.abspath("./experiments"), args.exp_name)
     synth = AudioSynthesizer(
         exp_dir, args.midi_source, args.audio_source,

@@ -81,6 +81,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
+    from ..utils.profiling import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()  # restarts/resumes skip the big compile
     if args.debug_nans:
         from ..utils.profiling import enable_nan_debugging
 

@@ -60,3 +60,25 @@ class StepTimer:
 def enable_nan_debugging() -> None:
     """Numeric-sanitizer analogue of race detection (SURVEY §5): fail fast on NaNs."""
     jax.config.update("jax_debug_nans", True)
+
+
+def enable_persistent_compile_cache(path: str | None = None) -> str | None:
+    """Persistent XLA compile cache for the CLI entry points.
+
+    A flagship-width serving/train process pays multi-minute XLA compiles on
+    every cold start (measured ~8 min for the serve program, ~3 min for the
+    train step on the v5e); the persistent cache turns restarts into
+    seconds. Default location ~/.cache/mmst_jax; override with the
+    MMST_COMPILE_CACHE env var, disable with MMST_COMPILE_CACHE=0. Returns
+    the directory used (None if disabled).
+    """
+    import os
+
+    if path is None:
+        path = os.environ.get("MMST_COMPILE_CACHE",
+                              os.path.expanduser("~/.cache/mmst_jax"))
+    if not path or path == "0":
+        return None
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    return path

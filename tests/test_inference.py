@@ -114,6 +114,30 @@ class TestSynthesizer:
         s2.predict_spectrogram(*chunks2)
         assert run._cache_size() == n1, "second instance recompiled the forward"
 
+    def test_params_cache_not_stale_after_checkpoint_rewrite(self, tmp_path):
+        """Re-saving the same checkpoint path (same best epoch, more
+        training) must not serve the stale cached tree — the module cache
+        keys on mtime."""
+        import os
+        import jax.numpy as jnp
+        exp_dir = str(tmp_path)
+        tr = Trainer(TINY, TrainConfig(exp_name="stale"))
+        params, _ = tr.init_state(0)
+        ckpt.save_checkpoint(exp_dir, 1, {"params": params})
+        exp = ckpt.ExperimentState(1, 1, "stale")
+        exp.best_epoch = 1
+        exp.save(exp_dir)
+        s1 = AudioSynthesizer(exp_dir, "m.mid", "a.wav", model_cfg=TINY)
+        bumped = jax.tree_util.tree_map(lambda x: x + 1.0, params)
+        ckpt.save_checkpoint(exp_dir, 1, {"params": bumped})
+        path = ckpt.checkpoint_path(exp_dir, 1)
+        os.utime(path, (os.path.getmtime(path) + 2,) * 2)  # force mtime delta
+        s2 = AudioSynthesizer(exp_dir, "m.mid", "a.wav", model_cfg=TINY)
+        a = jax.tree_util.tree_leaves(s1.params)[0]
+        b = jax.tree_util.tree_leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a) + 1.0,
+                                   atol=1e-6)
+
     def test_output_dir_autonumber(self, fake_experiment, user_inputs):
         midi_path, wav_path = user_inputs
         synth = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
