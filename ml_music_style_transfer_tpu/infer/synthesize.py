@@ -474,6 +474,68 @@ class AudioSynthesizer:
                     pad_shard(onoff))
         return np.asarray(out)[0, :t_out]
 
+    def synthesize_whole_clip(self, n_iter: int = 300, mesh=None,
+                              axis_name: str = "time") -> np.ndarray:
+        """Device-resident whole-clip serving: ONE time-sharded forward over
+        the entire clip (reference inference semantics, model/inference.py:
+        82-84 — no tiling, InstanceNorm statistics spanning the clip) + GL,
+        with host traffic = waveform + rolls up, waveform down.
+
+        The host-contract pair (process_whole_clip +
+        predict_spectrogram_whole_clip) moves the full cond spec and the
+        predicted spec across the link (~212 MB for a 5-minute clip at
+        4 B/bin/frame); this path computes the cond spec on device from the
+        uploaded waveform, shards it device-to-device, and feeds the
+        (gathered, still on-device) prediction straight to Griffin-Lim.
+        """
+        from jax.sharding import Mesh
+        from ..parallel import time_shard as tsh
+
+        hp = self.hp
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), (axis_name,))
+        mf = midi_parser.load(self.midi_source)
+        roll, onoff = pr.vectorize_notes(mf.notes, hp.wps)
+        t_total = roll.shape[0]
+        spec_dev = self._cond_spec_device(self.audio_source)
+        n_valid = int(spec_dev.shape[0])
+        # cyclic extension to the MIDI's frame count, on device
+        cond_dev = spec_dev[jnp.mod(jnp.arange(t_total), n_valid)]
+
+        mesh_key = (axis_name, tuple(mesh.shape.items()),
+                    tuple(d.id for d in mesh.devices.flat))
+        fn_key = (self.model_cfg, t_total, mesh_key)
+        if fn_key not in _TS_FN_CACHE:
+            _TS_FN_CACHE[fn_key] = tsh.make_time_sharded_forward(
+                self.model_cfg, mesh, t_total, axis_name=axis_name)
+        ts_fn, t_pad, t_out = _TS_FN_CACHE[fn_key]
+        p_key = (self._params_key, mesh_key)
+        if p_key not in _TS_PARAMS_CACHE:
+            _TS_PARAMS_CACHE[p_key] = jax.device_put(
+                self.params,
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+
+        def pad_shard_host(a):  # rolls: (T,128) int-valued, small
+            p = np.zeros((1, t_pad, a.shape[-1]), np.float32)
+            p[:, :t_total] = a
+            return tsh.shard_time(_stage(p), mesh, axis_name)
+
+        cond_padded = jnp.pad(cond_dev, ((0, t_pad - t_total), (0, 0)))[None]
+        cond_sharded = tsh.shard_time(cond_padded, mesh, axis_name)  # D2D
+        out = ts_fn(_TS_PARAMS_CACHE[p_key], pad_shard_host(roll),
+                    cond_sharded, pad_shard_host(onoff))
+        # gather the time-sharded prediction onto one device for GL (D2D
+        # over ICI; identity on a 1-device mesh), bucket frames for compile
+        # reuse, and synthesize
+        spec_one = jax.device_put(out, mesh.devices.flat[0])[0, :t_out]
+        bucket = hp.windows_per_chunk // 2
+        t_gl = -(-t_out // bucket) * bucket
+        spec_gl = jnp.pad(spec_one, ((0, t_gl - t_out), (0, 0)))
+        wav = jgl.griffinlim_from_log_power(
+            jnp.swapaxes(spec_gl, -1, -2), key=jax.random.PRNGKey(0),
+            n_iter=n_iter, hop_length=hp.ws, clip_max=hp.clip_log_power_max)
+        return _fetch(wav)[: t_out * hp.ws]
+
     def synthesize_waveform(self, n_iter: int = 300, overlap: bool = True,
                             cond_mode: str = "aligned") -> np.ndarray:
         """Full device-resident synthesis: MIDI+audio -> waveform (host np).

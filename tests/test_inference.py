@@ -340,6 +340,99 @@ class TestWholeClipOnePass:
         np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
 
 
+class TestServeDaemon:
+    """scripts/serve.py: long-lived JSON-lines serving over the module-level
+    warm caches (the serving-process shape, round-2 verdict #7)."""
+
+    def test_serve_loop_handles_requests_and_errors(self, fake_experiment,
+                                                    user_inputs, tmp_path):
+        import importlib.util
+        import io
+        import json as js
+        from ml_music_style_transfer_tpu.infer import synthesize as S
+        spec = importlib.util.spec_from_file_location(
+            "serve", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "scripts", "serve.py"))
+        serve = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(serve)
+
+        midi_path, wav_path = user_inputs
+        made = []
+
+        def make_synth(midi, audio):
+            s = AudioSynthesizer(fake_experiment, midi, audio, model_cfg=TINY)
+            made.append(s)
+            return s
+
+        reqs = [
+            {"midi": midi_path, "audio": wav_path,
+             "out": str(tmp_path / "a.wav"), "n_iter": 2},
+            {"midi": "/nonexistent.mid", "audio": wav_path,
+             "out": str(tmp_path / "b.wav"), "n_iter": 2},
+            {"midi": midi_path, "audio": wav_path,
+             "out": str(tmp_path / "c.wav"), "n_iter": 2,
+             "cond_mode": "center"},
+        ]
+        in_s = io.StringIO("\n".join(js.dumps(r) for r in reqs) + "\nquit\n")
+        out_s = io.StringIO()
+        served = serve.serve_loop(make_synth, in_s, out_s)
+        resps = [js.loads(l) for l in out_s.getvalue().splitlines()]
+        assert served == 2
+        assert resps[0]["ok"] and os.path.exists(resps[0]["out"])
+        assert not resps[1]["ok"] and "error" in resps[1]  # daemon survived
+        assert resps[2]["ok"] and os.path.exists(resps[2]["out"])
+        # warm caches: every synthesizer shares the same device params tree
+        assert all(s.params is made[0].params for s in made)
+
+
+class TestWholeClipDeviceServing:
+    """Round-3 follow-through: the time-sharded whole-clip path also serves
+    device-resident (the host-contract pair moves the full cond + predicted
+    specs across the link)."""
+
+    def test_matches_host_contract_path_and_stays_on_device(
+            self, fake_experiment, user_inputs):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import Mesh
+        from ml_music_style_transfer_tpu.infer import synthesize as S
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path,
+                                 model_cfg=TINY)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("time",))
+        # host-contract reference: spec via the round-2 path + same GL
+        roll, onoff, cond, t_total = synth.process_whole_clip(midi_path, wav_path)
+        want_spec = synth.predict_spectrogram_whole_clip(
+            roll, onoff, cond, t_total, mesh=mesh)
+        log = []
+        S.TRANSFER_LOG = log
+        try:
+            wav = synth.synthesize_whole_clip(n_iter=3, mesh=mesh)
+        finally:
+            S.TRANSFER_LOG = None
+        assert np.all(np.isfinite(wav)) and len(wav) == want_spec.shape[0] * 256
+        # no spectrogram-sized crossing: rolls are T*128*4 B; the spec would
+        # be T*1025*4 B (~8x bigger)
+        spec_bytes = t_total * 1025 * 4
+        for direction, nbytes in log:
+            assert nbytes < 0.6 * spec_bytes, (direction, nbytes)
+        # and the device path's spectrogram equals the host-contract one:
+        # re-run GL on the host-contract spec with identical bucketing
+        t_out = want_spec.shape[0]
+        t_gl = -(-t_out // 430) * 430
+        import jax.numpy as jnp
+        want_wav = np.asarray(jgl_ref(
+            np.pad(want_spec, ((0, t_gl - t_out), (0, 0))), 3))[: t_out * 256]
+        np.testing.assert_allclose(wav, want_wav, atol=2e-4, rtol=1e-3)
+
+
+def jgl_ref(spec_tmajor, n_iter):
+    import jax.numpy as jnp
+    from ml_music_style_transfer_tpu.ops import griffinlim as jgl
+    return jgl.griffinlim_from_log_power(
+        jnp.asarray(spec_tmajor.T), key=jax.random.PRNGKey(0), n_iter=n_iter)
+
+
 class TestReferenceCheckpointCompat:
     def test_tar_checkpoint_forces_compat_mbr_noop(self, tmp_path, monkeypatch):
         """Reference .tar checkpoints carry untrained MBR conv weights (the
