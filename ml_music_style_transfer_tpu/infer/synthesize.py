@@ -249,6 +249,10 @@ class AudioSynthesizer:
         """
         hp = self.hp
         mf = midi_parser.load(midi_path)
+        if not mf.notes:
+            raise ValueError(
+                f"{midi_path} contains no notes — nothing to synthesize "
+                "(the reference's pretty_midi path fails on these too)")
         roll, onoff = pr.vectorize_notes(mf.notes, hp.wps)
         t_total = roll.shape[0]
         win = hp.windows_per_chunk
@@ -278,6 +282,11 @@ class AudioSynthesizer:
         re-uploaded tiles — round-2 verdict #1).
         """
         audio, _ = audio_io.read_wav(audio_path, sr=self.hp.sr)
+        if len(audio) < self.hp.n_fft:
+            raise ValueError(
+                f"{audio_path} is shorter than one FFT window "
+                f"({len(audio)} < {self.hp.n_fft} samples at {self.hp.sr} Hz) "
+                "— too short to extract timbre from")
         spec = jstft.log_power_stft(
             _stage(audio.astype(np.float32)), self.hp.n_fft, self.hp.ws)
         return jnp.swapaxes(spec, -1, -2)  # (T, 1025), device-resident
@@ -495,6 +504,9 @@ class AudioSynthesizer:
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), (axis_name,))
         mf = midi_parser.load(self.midi_source)
+        if not mf.notes:
+            raise ValueError(f"{self.midi_source} contains no notes — "
+                             "nothing to synthesize")
         roll, onoff = pr.vectorize_notes(mf.notes, hp.wps)
         t_total = roll.shape[0]
         spec_dev = self._cond_spec_device(self.audio_source)

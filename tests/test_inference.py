@@ -145,6 +145,30 @@ class TestSynthesizer:
         d2 = synth.create_output_dir()
         assert d1 != d2 and os.path.isdir(d1) and os.path.isdir(d2)
 
+    def test_degenerate_inputs_fail_with_clear_errors(self, fake_experiment,
+                                                      tmp_path):
+        """Empty MIDI / sub-window audio must fail early with actionable
+        messages, not deep inside the STFT/GL machinery."""
+        from ml_music_style_transfer_tpu.midi import writer as mw
+        empty_mid = str(tmp_path / "empty.mid")
+        mw.save(empty_mid, [])
+        tiny_wav = str(tmp_path / "tiny.wav")
+        audio_io.write_wav(tiny_wav, np.zeros(512, np.float32), 44100)
+        ok_wav = str(tmp_path / "ok.wav")
+        rng = np.random.default_rng(0)
+        notes = synthetic.random_song(rng, duration=3.0)
+        audio_io.write_wav(ok_wav, synthetic.render_notes(notes, "cuba", 44100, 3.0), 44100)
+        ok_mid = str(tmp_path / "ok.mid")
+        mw.save(ok_mid, notes)
+        synth = AudioSynthesizer(fake_experiment, empty_mid, ok_wav, model_cfg=TINY)
+        with pytest.raises(ValueError, match="no notes"):
+            synth.synthesize_waveform(n_iter=2)
+        with pytest.raises(ValueError, match="no notes"):
+            synth.synthesize_whole_clip(n_iter=2)
+        synth2 = AudioSynthesizer(fake_experiment, ok_mid, tiny_wav, model_cfg=TINY)
+        with pytest.raises(ValueError, match="shorter than one FFT window"):
+            synth2.synthesize_waveform(n_iter=2)
+
     def test_short_audio_conditioning_repeats(self, fake_experiment, tmp_path):
         """Conditioning audio shorter than one chunk must tile, not crash."""
         rng = np.random.default_rng(12)
