@@ -48,8 +48,12 @@ def _bulk_gl_jit(mesh_key, axes, n_iter: int, hop_length: int, clip_max: float):
         return jax.lax.map(one, (specs, seeds))
 
     spec_p = P(axes, None, None)
+    # check_vma=False: GL is embarrassingly parallel (no collectives), and on
+    # TPU the fused Pallas glue inside (ops/pallas/gl_glue.py) emits
+    # pallas_call out_shapes without `vma`, which the varying-across-mesh
+    # check rejects (CPU tests never see this — Pallas is TPU-gated).
     fn = shard_map(local, mesh=mesh, in_specs=(spec_p, P(axes)),
-                   out_specs=P(axes, None))
+                   out_specs=P(axes, None), check_vma=False)
     return jax.jit(fn)
 
 
@@ -92,6 +96,73 @@ def bulk_griffinlim(specs, seeds, mesh: Mesh | None = None, n_iter: int = 300,
     seeds = jax.device_put(seeds, NamedSharding(mesh, P(axes)))
     fn = _bulk_gl_jit(_mesh_key(mesh), axes, n_iter, hop_length, clip_max)
     return fn(specs, seeds)
+
+
+def batch_synthesize_waveforms(synths, n_iter: int = 300, overlap: bool = True,
+                               cond_mode: str = "aligned", mesh: Mesh | None = None,
+                               seeds=None):
+    """Dynamic batching for the serving daemon: synthesize N requests with
+    ONE Griffin-Lim dispatch per equal-length group.
+
+    Per request the blended spectrogram is predicted device-resident
+    (AudioSynthesizer._predict_device — bucketed tile counts mean repeat
+    lengths reuse compiled programs), then requests whose GL frame count
+    matches are stacked and inverted together via bulk_griffinlim: a single
+    dispatch on one chip (~7% per-clip win, BASELINE.md), ~linear clip
+    throughput over a mesh's data axes. The reference serves strictly one
+    clip per process run (model/inference.py:112-129).
+
+    ``synths``: AudioSynthesizer list (each carries its midi/audio sources).
+    ``seeds``: optional per-request GL phase seeds; default 0 per clip =
+    bit-parity with AudioSynthesizer.synthesize_waveform's PRNGKey(0).
+    Returns ``(wavs, errors)`` both length N: per-request isolation — a
+    request whose MIDI/audio fails to predict gets an error string and does
+    not poison the rest (its wav is None).
+    """
+    n = len(synths)
+    specs: list = [None] * n
+    t_gls = [0] * n
+    t_totals = [0] * n
+    errors: list = [None] * n
+    for i, s in enumerate(synths):
+        try:
+            spec, t_total = s._predict_device(
+                s.midi_source, s.audio_source, overlap=overlap,
+                cond_mode=cond_mode)
+            win = s.hp.windows_per_chunk
+            bucket = win // 2
+            t_gls[i] = min(int(spec.shape[0]), -(-t_total // bucket) * bucket)
+            specs[i] = spec
+            t_totals[i] = t_total
+        except Exception as e:  # noqa: BLE001 — per-request isolation
+            errors[i] = f"{type(e).__name__}: {e}"
+
+    wavs: list = [None] * n
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        if errors[i] is None:
+            groups.setdefault(t_gls[i], []).append(i)
+    for t_gl, idxs in groups.items():
+        hp = synths[idxs[0]].hp
+        batch = jnp.stack([jnp.swapaxes(specs[i][:t_gl], -1, -2) for i in idxs])
+        seed_vec = np.asarray(
+            [0 if seeds is None else int(seeds[i]) for i in idxs], np.int32)
+        # pad the group to the mesh's shard multiple (dropped after GL)
+        if mesh is not None:
+            n_shards = 1
+            for a in _data_axes(mesh):
+                n_shards *= mesh.shape[a]
+            pad = -len(idxs) % n_shards
+            if pad:
+                batch = jnp.concatenate([batch, batch[-1:].repeat(pad, 0)])
+                seed_vec = np.concatenate([seed_vec, seed_vec[-1:].repeat(pad)])
+        wav_b = bulk_griffinlim(batch, seed_vec, mesh=mesh, n_iter=n_iter,
+                                hop_length=hp.ws,
+                                clip_max=hp.clip_log_power_max)
+        wav_b = np.asarray(wav_b)
+        for j, i in enumerate(idxs):
+            wavs[i] = wav_b[j][: t_totals[i] * hp.ws]
+    return wavs, errors
 
 
 def bulk_synthesize(model_cfg: ModelConfig, params, roll, onoff, cond,

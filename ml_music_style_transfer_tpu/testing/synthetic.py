@@ -20,11 +20,28 @@ from ..data.audio_io import write_wav
 
 # harmonic amplitude profile + amplitude decay rate per style
 STYLE_TIMBRES = {
-    "cuba": ((1.0, 0.4, 0.25, 0.1), 2.0),
-    "aliciakeys": ((1.0, 0.6, 0.3, 0.15, 0.08), 1.2),
+    "cuba": ((1.0, 0.06, 0.55, 0.05, 0.35, 0.04, 0.22), 2.0),
+    "aliciakeys": ((1.0, 0.2, 0.06), 1.2),
     "gentleman": ((1.0, 0.3, 0.1), 0.8),
     "harpsichord": ((1.0, 0.8, 0.6, 0.5, 0.4, 0.3), 4.0),
-    "upright": ((1.0, 0.5, 0.2, 0.1, 0.05), 1.6),
+    "upright": ((1.0, 0.7, 0.45, 0.3, 0.15), 1.6),
+}
+
+# Distinct non-envelope timbre features per style. The round-3 5-style TPU
+# gate exposed that the original five profiles were all monotonic harmonic
+# rolloffs: aliciakeys/cuba/upright targets sat within the trained model's
+# error floor of EACH OTHER (inter-target L1 ~ own-prediction L1), so the
+# gate measured the fixtures' separability, not the model's discrimination.
+# Real instruments differ along more dimensions than rolloff; these add one
+# qualitatively different cue each: cuba an odd-harmonic comb (hollow,
+# clav-like — encoded in its profile above), aliciakeys an EP-style 5 Hz
+# amplitude tremolo, upright piano-string inharmonicity (partial k at
+# f0*k*sqrt(1 + B*k^2), audibly stretched octaves).
+STYLE_FEATURES = {
+    "aliciakeys": {"tremolo": (5.0, 0.6),    # (rate Hz, depth)
+                   "bell": (3.58, 0.5)},     # Rhodes-tine partial (ratio, amp)
+    "upright": {"stretch": 5e-3,             # inharmonicity coefficient B
+                "detune": 6e-3},             # honky-tonk unison detune (beats)
 }
 
 
@@ -60,6 +77,11 @@ def render_notes(
     RMS differ ~3x because decay rates differ).
     """
     harmonics, decay = STYLE_TIMBRES[style]
+    features = STYLE_FEATURES.get(style, {})
+    stretch = features.get("stretch", 0.0)
+    tremolo = features.get("tremolo")
+    bell = features.get("bell")
+    detune = features.get("detune", 0.0)
     if duration is None:
         duration = max((n.end for n in notes), default=1.0) + 0.5
     n_samples = int(duration * sr)
@@ -73,10 +95,22 @@ def render_notes(
         t = np.arange(e - s) / sr
         env = (note.velocity / 127.0) * np.exp(-decay * t)
         env[: min(64, len(env))] *= np.linspace(0, 1, min(64, len(env)))  # declick
+        if tremolo is not None:
+            rate, depth = tremolo
+            env = env * (1.0 - depth * (0.5 - 0.5 * np.cos(2 * np.pi * rate * t)))
         seg = np.zeros(e - s)
         for k, amp in enumerate(harmonics, start=1):
-            if f0 * k < sr / 2:
-                seg += amp * np.sin(2 * np.pi * f0 * k * t)
+            fk = f0 * k * np.sqrt(1.0 + stretch * k * k)
+            if fk < sr / 2:
+                if detune:
+                    # two detuned unison strings -> f0*k*2*detune Hz beating
+                    seg += 0.5 * amp * (
+                        np.sin(2 * np.pi * fk * (1 + detune) * t)
+                        + np.sin(2 * np.pi * fk * (1 - detune) * t))
+                else:
+                    seg += amp * np.sin(2 * np.pi * fk * t)
+        if bell is not None and f0 * bell[0] < sr / 2:
+            seg += bell[1] * np.sin(2 * np.pi * f0 * bell[0] * t)
         y[s:e] += env * seg
     if normalize == "peak":
         peak = np.max(np.abs(y))

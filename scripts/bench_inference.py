@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--width-mult", type=float, default=1.0)
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--n-iter", type=int, default=300)
+    ap.add_argument("--profile-dir", type=str, default=None,
+                    help="write a jax.profiler trace of one steady-state "
+                         "synthesis here (view with tensorboard/xprof) — "
+                         "localizes the remaining serve time per-op")
     args = ap.parse_args()
 
     import jax
@@ -87,6 +91,14 @@ def main():
     print(f"[phases] process+forward+blend {t1-t0:5.2f} s | "
           f"full synth (incl. GL{args.n_iter} + download) {t2-t1:5.2f} s",
           flush=True)
+
+    if args.profile_dir:
+        try:
+            with jax.profiler.trace(args.profile_dir):
+                _, wav = run()
+            print(f"[profile] trace written to {args.profile_dir}", flush=True)
+        except Exception as e:  # the axon PJRT plugin may lack profiling
+            print(f"[profile] unavailable on this backend: {e!r}", flush=True)
 
 
 if __name__ == "__main__":

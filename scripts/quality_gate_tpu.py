@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--styles", type=int, choices=(2, 5), default=2,
+                    help="2 = the round-2-comparable two-style gate; 5 = all "
+                         "reference styles, probed as a 5x5 L1 confusion "
+                         "matrix (every style must be its own argmin)")
     args = ap.parse_args()
 
     import jax
@@ -62,8 +66,22 @@ def main():
     from ml_music_style_transfer_tpu.testing import synthetic
     from ml_music_style_transfer_tpu.train.loop import Trainer
 
-    styles = ["gentleman", "harpsichord"]
-    root = "/tmp/qgate_tpu_r3"  # rms-normalized dataset (round-3 gate)
+    if args.styles == 2:
+        styles = ["gentleman", "harpsichord"]
+    else:
+        styles = list(synthetic.STYLE_TIMBRES)  # all five reference styles
+    root = f"/tmp/qgate_tpu_r3_s{args.styles}"  # rms-normalized dataset
+    if os.path.exists(root + "/ds_train.hdf5"):
+        # an interrupted previous run can leave a truncated HDF5 behind;
+        # probe it and rebuild rather than crash on a corrupt cache
+        import h5py
+        try:
+            with h5py.File(root + "/ds_train.hdf5", "r"):
+                pass
+        except OSError:
+            log("cached dataset is corrupt (interrupted build?) — rebuilding")
+            import shutil
+            shutil.rmtree(root)
     if not os.path.exists(root + "/ds_train.hdf5"):
         # loudness-balanced styles (normalize="rms"): both discrimination
         # directions face the same bar — the round-2 peak-normalized mix let
@@ -121,28 +139,52 @@ def main():
         a = store.audio[style_id, chunk_id].astype(jnp.float32)
         return jnp.swapaxes(jstft.log_power(jstft.stft(a, hp.n_fft, hp.ws)), -1, -2)
 
+    n_styles = len(store.styles)
+
     @jax.jit
     def probe(params):
         roll = store.pianoroll[held][None].astype(jnp.float32)
         onoff = store.onoff[held][None].astype(jnp.float32)
         preds, targets = [], []
-        for s in range(2):
+        for s in range(n_styles):
             cond = spec_of(s, 0)[None]
             preds.append(tr.model.apply(params, roll, cond, onoff)[0])
             targets.append(spec_of(s, held))
-        pa, pb = preds
-        ta, tb = targets
-        def l1(x, y):
-            return jnp.mean(jnp.abs(x - y))
-        return (l1(pa, ta), l1(pa, tb), l1(pb, tb), l1(pb, ta), pa, pb)
+        # L1 confusion matrix: m[s, t] = dist(pred cond on style s, target t)
+        m = jnp.stack([
+            jnp.stack([jnp.mean(jnp.abs(p - t)) for t in targets])
+            for p in preds])
+        # fixture separability: tsep[s, t] = dist(target s, target t). If
+        # off-diagonal tsep ~ diagonal m, a failed discrimination is the
+        # DATA's floor (styles too alike), not the model's — this is exactly
+        # what the first round-3 5-style run exposed for the three
+        # monotonic-rolloff styles, fixed via synthetic.STYLE_FEATURES.
+        tsep = jnp.stack([
+            jnp.stack([jnp.mean(jnp.abs(a - b)) for b in targets])
+            for a in targets])
+        return m, tsep, preds[0], preds[1]
 
-    paa, pab, pbb, pba, pred_a, pred_b = probe(params)
-    paa, pab, pbb, pba = map(float, (paa, pab, pbb, pba))
-    log(f"held-out L1 — cond A: own={paa:.4f} other={pab:.4f} r={paa/pab:.3f}")
-    log(f"held-out L1 — cond B: own={pbb:.4f} other={pba:.4f} r={pbb/pba:.3f}")
+    m, tsep, pred_a, pred_b = probe(params)
+    m = np.asarray(m, np.float64)
+    tsep = np.asarray(tsep, np.float64)
+    for s in range(n_styles):
+        others = np.delete(tsep[s], s)
+        log(f"target separation — {store.styles[s]}: min-other={others.min():.4f} "
+            f"(own-pred err={m[s, s]:.4f})")
     # tightened from 0.9 (round 2): with rms-balanced styles both directions
-    # cleared ~0.5 at the 2000-epoch budget, so 0.8 still leaves headroom
-    disc_a, disc_b = paa < 0.8 * pab, pbb < 0.8 * pba
+    # cleared ~0.5 at the 2000-epoch budget, so 0.8 still leaves headroom.
+    # Each conditioning style's own target must beat every other target by
+    # the bar (for 5 styles this is a 5-way argmin with margin).
+    per_style_disc = []
+    for s in range(n_styles):
+        others = np.delete(m[s], s)
+        per_style_disc.append(bool(m[s, s] < 0.8 * others.min()))
+        log(f"held-out L1 — cond {store.styles[s]}: own={m[s, s]:.4f} "
+            f"best-other={others.min():.4f} r={m[s, s]/others.min():.3f} "
+            f"disc={per_style_disc[-1]}")
+    paa, pab = float(m[0, 0]), float(m[0, 1])
+    pbb, pba = float(m[1, 1]), float(m[1, 0])
+    disc_a, disc_b = per_style_disc[0], per_style_disc[1]
 
     # ---- conditioning-value proof: aligned must beat center --------------
     # (round-2 verdict #5: prove whole-clip aligned conditioning buys
@@ -200,6 +242,11 @@ def main():
         "width_mult": args.width_mult,
         "params_m": round(n_params / 1e6, 1),
         "epochs": args.epochs,
+        "n_styles": n_styles,
+        "styles": list(store.styles),
+        "l1_confusion": [[round(float(v), 4) for v in row] for row in m],
+        "l1_target_separation": [[round(float(v), 4) for v in row] for row in tsep],
+        "per_style_discrimination": per_style_disc,
         "train_l1_first10": round(first10, 4),
         "train_l1_last10": round(last10, 4),
         "heldout_l1_condA_own": round(paa, 4),
@@ -214,11 +261,13 @@ def main():
         "cond_center_l1": round(l_center, 4),
         "aligned_beats_center": bool(aligned_beats_center),
         "gl_rel_err": round(gl_rel, 4),
-        "passed": bool(disc_a and disc_b and finite and gl_rel < 0.6
+        "passed": bool(all(per_style_disc) and finite and gl_rel < 0.6
                        and last10 < 0.5 * first10 and aligned_beats_center),
     }
+    name = ("QUALITY_GATE_TPU.json" if args.styles == 2
+            else "QUALITY_GATE_TPU_5STYLE.json")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "QUALITY_GATE_TPU.json")
+                       name)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

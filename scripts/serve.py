@@ -16,6 +16,15 @@ one JSON response per stdout line:
     {"ok": false, "error": "..."}
 EOF (or a line "quit") shuts down cleanly.
 
+Dynamic batching: a request may instead carry a list of clips ->
+    {"batch": [{"midi": PATH, "audio": PATH, "out": PATH}, ...],
+     "n_iter": 300, "cond_mode": "aligned", "overlap": true}
+All clips' forwards run device-resident, then equal-length clips share ONE
+Griffin-Lim dispatch (batched over the data mesh when --mesh-data > 1;
+infer/bulk.py). The response is one line with per-item results:
+    {"ok": true, "batch": [{"ok": true, "out": PATH} | {"ok": false,
+     "error": "..."}, ...], "seconds": S}
+
 Usage:
     python scripts/serve.py -exp-name NAME [--width-mult F] [--use-ema] \
         [--checkpoint PATH] < requests.jsonl
@@ -31,15 +40,48 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def serve_loop(make_synth, in_stream, out_stream) -> int:
+def _write_wav_out(wav, out_path, sr) -> None:
+    from ml_music_style_transfer_tpu.data import audio_io
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    audio_io.write_wav(out_path, wav, sr)
+
+
+def _serve_batch(make_synth, req, mesh) -> dict:
+    """One dynamic batch: device-resident forwards, grouped one-dispatch GL
+    (per-item error isolation inside bulk.batch_synthesize_waveforms)."""
+    from ml_music_style_transfer_tpu.infer import bulk
+
+    items = req["batch"]
+    synths, results = [], [None] * len(items)
+    idx_map = []  # position in `synths` -> position in `items`
+    for i, it in enumerate(items):
+        try:
+            synths.append(make_synth(it["midi"], it["audio"]))
+            idx_map.append(i)
+        except Exception as e:  # per-item isolation at construction too
+            results[i] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+    wavs, errors = bulk.batch_synthesize_waveforms(
+        synths, n_iter=int(req.get("n_iter", 300)),
+        overlap=bool(req.get("overlap", True)),
+        cond_mode=req.get("cond_mode", "aligned"), mesh=mesh)
+    for j, i in enumerate(idx_map):
+        if errors[j] is not None:
+            results[i] = {"ok": False, "error": errors[j]}
+            continue
+        _write_wav_out(wavs[j], items[i]["out"], synths[j].hp.sr)
+        results[i] = {"ok": True, "out": items[i]["out"]}
+    return {"ok": True, "batch": results}
+
+
+def serve_loop(make_synth, in_stream, out_stream, mesh=None) -> int:
     """Handle requests until EOF/'quit'. Returns the number served.
 
     ``make_synth(midi, audio)`` returns an AudioSynthesizer for the request's
     sources; the module-level caches make repeat construction cheap (no
-    recompile, no params re-upload).
+    recompile, no params re-upload). ``mesh``: optional data mesh for batch
+    requests' Griffin-Lim scale-out.
     """
-    from ml_music_style_transfer_tpu.data import audio_io
-
     served = 0
     for line in in_stream:
         line = line.strip()
@@ -50,6 +92,13 @@ def serve_loop(make_synth, in_stream, out_stream) -> int:
         t0 = time.perf_counter()
         try:
             req = json.loads(line)
+            if "batch" in req:
+                resp = _serve_batch(make_synth, req, mesh)
+                resp["seconds"] = round(time.perf_counter() - t0, 3)
+                served += sum(r["ok"] for r in resp["batch"])
+                out_stream.write(json.dumps(resp) + "\n")
+                out_stream.flush()
+                continue
             synth = make_synth(req["midi"], req["audio"])
             n_iter = int(req.get("n_iter", 300))
             if req.get("whole_clip"):
@@ -60,8 +109,7 @@ def serve_loop(make_synth, in_stream, out_stream) -> int:
                     overlap=bool(req.get("overlap", True)),
                     cond_mode=req.get("cond_mode", "aligned"))
             out_path = req["out"]
-            os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-            audio_io.write_wav(out_path, wav, synth.hp.sr)
+            _write_wav_out(wav, out_path, synth.hp.sr)
             dt = time.perf_counter() - t0
             resp = {"ok": True, "out": out_path, "seconds": round(dt, 3),
                     "realtime_x": round(len(wav) / synth.hp.sr / dt, 2)}
@@ -80,6 +128,9 @@ def main(argv=None) -> None:
     ap.add_argument("--use-ema", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--exp-root", default="./experiments")
+    ap.add_argument("--mesh-data", type=int, default=1,
+                    help="data-parallel devices for batch requests' "
+                         "Griffin-Lim scale-out (infer/bulk.py)")
     args = ap.parse_args(argv)
 
     from ml_music_style_transfer_tpu.config import ModelConfig
@@ -91,6 +142,13 @@ def main(argv=None) -> None:
     exp_dir = os.path.join(os.path.abspath(args.exp_root), args.exp_name)
     cfg = ModelConfig(width_mult=args.width_mult)
 
+    mesh = None
+    if args.mesh_data > 1:
+        import jax
+        from ml_music_style_transfer_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=args.mesh_data,
+                         devices=jax.devices()[: args.mesh_data])
+
     def make_synth(midi, audio):
         return AudioSynthesizer(exp_dir, midi, audio, model_cfg=cfg,
                                 checkpoint_path=args.checkpoint,
@@ -98,7 +156,7 @@ def main(argv=None) -> None:
 
     print(f"serving {exp_dir} (width_mult={args.width_mult}); "
           "one JSON request per line, 'quit' or EOF to stop", file=sys.stderr)
-    n = serve_loop(make_synth, sys.stdin, sys.stdout)
+    n = serve_loop(make_synth, sys.stdin, sys.stdout, mesh=mesh)
     print(f"served {n} requests", file=sys.stderr)
 
 

@@ -409,6 +409,100 @@ class TestServeDaemon:
         assert all(s.params is made[0].params for s in made)
 
 
+class TestBatchServing:
+    """Dynamic batching (round-3): N requests, one Griffin-Lim dispatch per
+    equal-length group, per-item error isolation (infer/bulk.py:
+    batch_synthesize_waveforms + scripts/serve.py batch protocol)."""
+
+    @pytest.fixture(scope="class")
+    def second_clip(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("clip2")
+        rng = np.random.default_rng(12)
+        notes = synthetic.random_song(rng, duration=12.0)
+        midi2 = str(d / "b.mid")
+        midi_writer.save(midi2, notes)
+        wav2 = synthetic.render_notes(notes, "cuba", 44100, 12.0)
+        wav2_path = str(d / "b.wav")
+        audio_io.write_wav(wav2_path, wav2, 44100)
+        return midi2, wav2_path
+
+    def test_batch_matches_individual_and_isolates_errors(
+            self, fake_experiment, user_inputs, second_clip):
+        from ml_music_style_transfer_tpu.infer import bulk
+
+        midi_path, wav_path = user_inputs
+        midi2, wav2_path = second_clip
+        s1 = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)
+        s2 = AudioSynthesizer(fake_experiment, midi2, wav2_path, model_cfg=TINY)
+        s_bad = AudioSynthesizer(fake_experiment, "/nonexistent.mid", wav_path,
+                                 model_cfg=TINY)
+        wavs, errors = bulk.batch_synthesize_waveforms(
+            [s1, s_bad, s2], n_iter=3)
+        # the bad request is isolated; the good ones complete
+        assert errors[0] is None and errors[2] is None
+        assert errors[1] is not None and wavs[1] is None
+        # parity with the single-clip serving path (same seed-0 phase init)
+        want1 = s1.synthesize_waveform(n_iter=3)
+        want2 = s2.synthesize_waveform(n_iter=3)
+        assert wavs[0].shape == want1.shape and wavs[2].shape == want2.shape
+        np.testing.assert_allclose(wavs[0], want1, atol=1e-4)
+        np.testing.assert_allclose(wavs[2], want2, atol=1e-4)
+
+    def test_batch_over_data_mesh_matches_single_device(
+            self, fake_experiment, user_inputs):
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        from jax.sharding import Mesh
+        from ml_music_style_transfer_tpu.infer import bulk
+
+        midi_path, wav_path = user_inputs
+        synths = [AudioSynthesizer(fake_experiment, midi_path, wav_path,
+                                   model_cfg=TINY) for _ in range(2)]
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        # 2 clips on a 4-way mesh exercises the pad-to-shard-multiple path
+        wavs_mesh, err_mesh = bulk.batch_synthesize_waveforms(
+            synths, n_iter=3, mesh=mesh)
+        wavs_one, err_one = bulk.batch_synthesize_waveforms(synths, n_iter=3)
+        assert err_mesh == [None, None] and err_one == [None, None]
+        np.testing.assert_allclose(wavs_mesh[0], wavs_one[0], atol=1e-4)
+        np.testing.assert_allclose(wavs_mesh[1], wavs_one[1], atol=1e-4)
+
+    def test_serve_loop_batch_protocol(self, fake_experiment, user_inputs,
+                                       tmp_path):
+        import importlib.util
+        import io
+        import json as js
+        spec = importlib.util.spec_from_file_location(
+            "serve", os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "scripts", "serve.py"))
+        serve = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(serve)
+
+        midi_path, wav_path = user_inputs
+
+        def make_synth(midi, audio):
+            if not os.path.exists(midi):
+                raise FileNotFoundError(midi)  # exercise ctor-time isolation
+            return AudioSynthesizer(fake_experiment, midi, audio,
+                                    model_cfg=TINY)
+
+        req = {"batch": [
+            {"midi": midi_path, "audio": wav_path, "out": str(tmp_path / "a.wav")},
+            {"midi": "/nonexistent.mid", "audio": wav_path,
+             "out": str(tmp_path / "b.wav")},
+            {"midi": midi_path, "audio": wav_path, "out": str(tmp_path / "c.wav")},
+        ], "n_iter": 2}
+        in_s = io.StringIO(js.dumps(req) + "\nquit\n")
+        out_s = io.StringIO()
+        served = serve.serve_loop(make_synth, in_s, out_s)
+        assert served == 2
+        (resp,) = [js.loads(l) for l in out_s.getvalue().splitlines()]
+        assert resp["ok"] and len(resp["batch"]) == 3
+        assert resp["batch"][0]["ok"] and os.path.exists(resp["batch"][0]["out"])
+        assert not resp["batch"][1]["ok"] and "error" in resp["batch"][1]
+        assert resp["batch"][2]["ok"] and os.path.exists(resp["batch"][2]["out"])
+
+
 class TestWholeClipDeviceServing:
     """Round-3 follow-through: the time-sharded whole-clip path also serves
     device-resident (the host-contract pair moves the full cond + predicted

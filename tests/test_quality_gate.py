@@ -82,6 +82,32 @@ def trained(tmp_path_factory):
     return tr, params, init_params, ds, held, losses
 
 
+class TestStyleSeparability:
+    def test_all_style_pairs_separable_in_spectrogram(self):
+        """Every pair of synthetic styles must be separated in log-power
+        spectrogram L1 by clearly more than a trained model's own-prediction
+        error floor (~0.02 at the TPU gate's scale). The first round-3
+        5-style TPU gate failed because aliciakeys/cuba/upright were all
+        monotonic harmonic rolloffs whose mutual target distance sat AT that
+        floor — the gate was measuring fixture similarity, not model
+        discrimination. STYLE_FEATURES (odd-harmonic comb, tremolo + tine
+        bell, inharmonic stretch + unison detune) restores pairwise margin;
+        this pins it."""
+        from ml_music_style_transfer_tpu.ops import reference as refops
+
+        rng = np.random.default_rng(8)
+        notes = synthetic.random_song(rng, duration=8.0)
+        specs = {}
+        for style in synthetic.STYLE_TIMBRES:
+            y = synthetic.render_notes(notes, style, 44100, 8.0, normalize="rms")
+            specs[style] = refops.log_power(refops.stft(y, 2048, 256))
+        names = list(specs)
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                d = float(np.mean(np.abs(specs[a] - specs[b])))
+                assert d > 0.025, (a, b, d)
+
+
 @pytest.mark.slow
 class TestLoudnessBalance:
     def test_rms_normalized_styles_equal_loudness(self):
