@@ -50,6 +50,18 @@ def main():
                     help="2 = the round-2-comparable two-style gate; 5 = all "
                          "reference styles, probed as a 5x5 L1 confusion "
                          "matrix (every style must be its own argmin)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training randomness (init, shuffle, cond/style "
+                         "draws). The dataset fixture stays fixed, so a "
+                         "second seed confirms the gate result is not a "
+                         "lucky init; non-zero seeds write a _SEED{n} "
+                         "artifact instead of overwriting the canonical one")
+    ap.add_argument("--bar", type=float, default=0.7,
+                    help="discrimination margin: own-target L1 must be < "
+                         "bar * best-other-target L1 for every style. 0.7 "
+                         "was set in round 3 after two independent training "
+                         "seeds of the 5-style full-width gate landed worst "
+                         "ratios 0.633 / 0.627 (and the 2-style gate 0.63)")
     args = ap.parse_args()
 
     import jax
@@ -91,22 +103,23 @@ def main():
                                    duration=60.0, seed=8, normalize="rms")
         pp.get_data(root + "/raw", root + "/ds", "train", song_ids=[11, 12],
                     styles=styles, store_audio=True)
-    store = DeviceDataStore(root + "/ds_train.hdf5", seed=0,
+    store = DeviceDataStore(root + "/ds_train.hdf5", seed=args.seed,
                             audio_dtype=jnp.float32)
     log(f"dataset: {store.n_data} chunks x {store.styles}, "
         f"{store.hbm_bytes()/1e9:.2f} GB HBM")
 
     B = args.batch_size
     model_cfg = ModelConfig(width_mult=args.width_mult)
-    tr = Trainer(model_cfg, TrainConfig(batch_size=B, learning_rate=args.lr, seed=0))
-    params, opt_state = tr.init_state(0)
+    tr = Trainer(model_cfg, TrainConfig(batch_size=B, learning_rate=args.lr,
+                                        seed=args.seed))
+    params, opt_state = tr.init_state(args.seed)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"params: {n_params/1e6:.1f}M (width_mult={args.width_mult})")
 
     held = store.n_data - 1
     train_idx = np.arange(store.n_data - 1)
-    rng = jax.random.PRNGKey(0)
-    host_rng = np.random.default_rng(0)
+    rng = jax.random.PRNGKey(args.seed)
+    host_rng = np.random.default_rng(args.seed)
     t0 = time.perf_counter()
     losses = []
     for epoch in range(args.epochs):
@@ -171,14 +184,15 @@ def main():
         others = np.delete(tsep[s], s)
         log(f"target separation — {store.styles[s]}: min-other={others.min():.4f} "
             f"(own-pred err={m[s, s]:.4f})")
-    # tightened from 0.9 (round 2): with rms-balanced styles both directions
-    # cleared ~0.5 at the 2000-epoch budget, so 0.8 still leaves headroom.
-    # Each conditioning style's own target must beat every other target by
-    # the bar (for 5 styles this is a 5-way argmin with margin).
+    # bar history: 0.9 (round 2, peak-normalized) -> 0.8 (round 3,
+    # rms-balanced) -> 0.7 (round 3, after two independent 5-style
+    # training seeds both landed worst ratios ~0.63). Each conditioning
+    # style's own target must beat every other target by the bar (for 5
+    # styles this is a 5-way argmin with margin).
     per_style_disc = []
     for s in range(n_styles):
         others = np.delete(m[s], s)
-        per_style_disc.append(bool(m[s, s] < 0.8 * others.min()))
+        per_style_disc.append(bool(m[s, s] < args.bar * others.min()))
         log(f"held-out L1 — cond {store.styles[s]}: own={m[s, s]:.4f} "
             f"best-other={others.min():.4f} r={m[s, s]/others.min():.3f} "
             f"disc={per_style_disc[-1]}")
@@ -255,7 +269,8 @@ def main():
         "heldout_l1_condB_other": round(pba, 4),
         "style_discrimination_A": bool(disc_a),
         "style_discrimination_B": bool(disc_b),
-        "discrimination_bar": 0.8,
+        "discrimination_bar": args.bar,
+        "seed": args.seed,
         "styles_normalized": "rms",
         "cond_aligned_l1": round(l_aligned, 4),
         "cond_center_l1": round(l_center, 4),
@@ -266,6 +281,8 @@ def main():
     }
     name = ("QUALITY_GATE_TPU.json" if args.styles == 2
             else "QUALITY_GATE_TPU_5STYLE.json")
+    if args.seed != 0:
+        name = name.replace(".json", f"_SEED{args.seed}.json")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        name)
     with open(out, "w") as f:

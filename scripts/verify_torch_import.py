@@ -24,6 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--t-frames", type=int, default=220)
+    ap.add_argument("--export", action="store_true",
+                    help="also verify the EXPORT direction: write the "
+                         "imported params back out as a reference .tar and "
+                         "strict-load it into a fresh reference model "
+                         "(round-trips compat/torch_export.py end to end)")
     args = ap.parse_args()
 
     import torch
@@ -85,6 +90,30 @@ def main():
           f"rel-to-peak: {abs_err.max()/max(scale,1e-9):.3e}")
     ok = abs_err.max() / max(scale, 1e-9) < 1e-3
     print("PARITY OK" if ok else "PARITY FAILED")
+
+    if args.export:
+        # --- export direction: our params -> .tar -> the UNMODIFIED
+        # reference model via strict load_state_dict (the real acceptance
+        # test for compat/torch_export.py: every key present, every shape
+        # right, and the loaded model's state bit-equal to what we hold)
+        import tempfile
+
+        from ml_music_style_transfer_tpu.compat import save_reference_checkpoint
+
+        with tempfile.TemporaryDirectory() as d:
+            tar = os.path.join(d, "checkpoint-0.tar")
+            save_reference_checkpoint(tar, params, epoch=0)
+            fresh = TorchPNet()
+            ckpt = torch.load(tar, map_location="cpu", weights_only=False)
+            fresh.load_state_dict(ckpt["state_dict"], strict=True)
+            max_dev = max(
+                float((fresh.state_dict()[k] - tmodel.state_dict()[k]).abs().max())
+                for k in tmodel.state_dict()
+            )
+        print(f"export strict-load max dev vs source model: {max_dev:.3e}")
+        ok = ok and max_dev == 0.0
+        print("EXPORT OK" if max_dev == 0.0 else "EXPORT FAILED")
+
     return 0 if ok else 1
 
 

@@ -72,6 +72,34 @@ class TestBulkGriffinLim:
         np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-5)
 
 
+class TestPallasGlueInsideShardMap:
+    def test_bulk_gl_traces_with_pallas_glue_forced(self, monkeypatch):
+        """Regression (round 3, found on the real TPU): with the Pallas GL
+        glue active — TPU-only in production, forced here via interpret
+        mode — the pallas_call out_shapes carry no `vma`, which shard_map's
+        default check_vma=True rejects at TRACE time. bulk_griffinlim must
+        keep check_vma=False so the batched-serving path works on TPU; this
+        pins it where CPU CI can see it, with output parity against the
+        plain-XLA glue."""
+        import functools
+        from ml_music_style_transfer_tpu.ops import pallas as pk
+        from ml_music_style_transfer_tpu.ops.pallas import gl_glue
+
+        monkeypatch.setattr(pk, "on_tpu", lambda: True)
+        monkeypatch.setattr(
+            gl_glue, "gl_consistency_frames",
+            functools.partial(gl_glue.gl_consistency_frames, interpret=True))
+        # distinct frames/n_iter: dodge programs cached before the patch
+        # (griffinlim's jit keys on shape+statics, _bulk_gl_jit lru-caches)
+        specs = _specs(1, frames=438, seed=3)
+        got = np.asarray(bulk.bulk_griffinlim(specs, [0], n_iter=4))
+        from ml_music_style_transfer_tpu.ops import stft as jstft
+        want = np.asarray(jgl.griffinlim(
+            jstft.inverse_log_power(jnp.asarray(specs[0]), 20.0),
+            key=jax.random.PRNGKey(0), n_iter=4, use_pallas_glue=False))
+        np.testing.assert_allclose(got[0], want, atol=2e-4, rtol=1e-3)
+
+
 class TestBulkSynthesize:
     def test_forward_plus_gl_data_parallel(self):
         """Full bulk path (DP forward -> sharded GL) == per-clip reference."""
