@@ -76,8 +76,6 @@ def griffinlim(
         init_phase = 2.0 * jnp.pi * jax.random.uniform(key, magnitude.shape)
     angles = jax.lax.complex(jnp.cos(init_phase), jnp.sin(init_phase))
     magnitude = magnitude.astype(jnp.float32)
-    eps = jnp.float32(1.1754944e-38)
-    mom = jnp.float32(momentum / (1.0 + momentum))
 
     # fused Pallas consistency glue (ops/pallas/gl_glue.py): one kernel for
     # the window/OLA/NOLA/crop/pad/frame data movement between the FFTs,
@@ -94,6 +92,39 @@ def griffinlim(
             and win_length == n_fft
             and _glue.supported(magnitude.shape[-1], n_fft, hop_length)
         )
+    rebuilt0 = jnp.zeros_like(angles)
+    angles, _ = gl_steps(magnitude, (angles, rebuilt0), n_iter, hop_length,
+                         win_length, momentum, use_pallas_glue, length)
+    return _stft.istft(magnitude * angles, hop_length, win_length, length=length)
+
+
+def resolve_pallas_glue(n_frames: int, n_fft: int, hop_length: int,
+                        win_length: int) -> bool:
+    """The auto-enable rule for the fused Pallas consistency glue
+    (TPU-only, supported single-clip shapes)."""
+    from . import pallas as _pk
+    from .pallas import gl_glue as _glue
+
+    return (_pk.on_tpu() and win_length == n_fft
+            and _glue.supported(n_frames, n_fft, hop_length))
+
+
+def gl_steps(magnitude, carry, n_iter: int, hop_length: int, win_length: int,
+             momentum: float = 0.99, use_pallas_glue: bool = False,
+             length: int | None = None):
+    """Run ``n_iter`` Griffin-Lim iterations on an explicit carry.
+
+    ``carry`` is ``(angles, rebuilt_prev)``, both complex (bins, frames);
+    returns the updated carry. This is the loop body of ``griffinlim``,
+    exposed (pure, trace-time) so the time-sharded GL
+    (parallel/gl_shard.py) can interleave iteration blocks with halo
+    refreshes — its Schwarz rounds need the momentum state to survive
+    across communication points.
+    """
+    n_fft = 2 * (magnitude.shape[-2] - 1)
+    eps = jnp.float32(1.1754944e-38)
+    mom = jnp.float32(momentum / (1.0 + momentum))
+
     if use_pallas_glue:
         from .pallas import gl_glue as _glue
 
@@ -128,9 +159,7 @@ def griffinlim(
             angles = angles / (jnp.abs(angles) + eps)
             return angles, rebuilt
 
-    rebuilt0 = jnp.zeros_like(angles)
-    angles, _ = jax.lax.fori_loop(0, n_iter, body, (angles, rebuilt0))
-    return _stft.istft(magnitude * angles, hop_length, win_length, length=length)
+    return jax.lax.fori_loop(0, n_iter, body, carry)
 
 
 def griffinlim_from_log_power(
