@@ -484,7 +484,10 @@ class AudioSynthesizer:
         return np.asarray(out)[0, :t_out]
 
     def synthesize_whole_clip(self, n_iter: int = 300, mesh=None,
-                              axis_name: str = "time") -> np.ndarray:
+                              axis_name: str = "time",
+                              shard_gl: bool | None = None,
+                              gl_halo: int = 32,
+                              gl_rounds: int = 10) -> np.ndarray:
         """Device-resident whole-clip serving: ONE time-sharded forward over
         the entire clip (reference inference semantics, model/inference.py:
         82-84 — no tiling, InstanceNorm statistics spanning the clip) + GL,
@@ -494,8 +497,13 @@ class AudioSynthesizer:
         predict_spectrogram_whole_clip) moves the full cond spec and the
         predicted spec across the link (~212 MB for a 5-minute clip at
         4 B/bin/frame); this path computes the cond spec on device from the
-        uploaded waveform, shards it device-to-device, and feeds the
-        (gathered, still on-device) prediction straight to Griffin-Lim.
+        uploaded waveform and shards it device-to-device.
+
+        ``shard_gl``: run Griffin-Lim time-sharded too (parallel/gl_shard.py)
+        so the prediction never gathers and BOTH serving phases scale with
+        the mesh. Default (None) auto-enables when the mesh time axis has
+        >1 device and each shard exceeds ``gl_halo`` frames; False keeps the
+        gathered per-chip-optimal GL (identical on a 1-device mesh).
         """
         from jax.sharding import Mesh
         from ..parallel import time_shard as tsh
@@ -536,6 +544,20 @@ class AudioSynthesizer:
         cond_sharded = tsh.shard_time(cond_padded, mesh, axis_name)  # D2D
         out = ts_fn(_TS_PARAMS_CACHE[p_key], pad_shard_host(roll),
                     cond_sharded, pad_shard_host(onoff))
+        n_axis = mesh.shape[axis_name]
+        if shard_gl is None:
+            shard_gl = n_axis > 1 and t_pad // n_axis > gl_halo
+        if shard_gl:
+            # keep the prediction sharded: GL runs on every device over its
+            # own frame range (parallel/gl_shard.py; frames past t_out are
+            # masked zeros = silent magnitude, so they iterate inertly)
+            from ..parallel import gl_shard as glsh
+
+            wav = glsh.sharded_griffinlim_from_log_power(
+                out[0], mesh, axis_name=axis_name, n_iter=n_iter,
+                hop_length=hp.ws, clip_max=hp.clip_log_power_max,
+                halo=gl_halo, rounds=gl_rounds, seed=0)
+            return _fetch(wav)[: t_out * hp.ws]
         # gather the time-sharded prediction onto one device for GL (D2D
         # over ICI; identity on a 1-device mesh), bucket frames for compile
         # reuse, and synthesize

@@ -10,7 +10,10 @@ scripts/bench_inference.py).
 Protocol: one JSON object per stdin line ->
     {"midi": PATH, "audio": PATH, "out": PATH,
      "n_iter": 300, "cond_mode": "aligned"|"center",
-     "overlap": true, "whole_clip": false}
+     "overlap": true, "whole_clip": false,
+     # whole-clip extras: shard_gl (default auto) time-shards Griffin-Lim
+     # over the mesh alongside the forward (parallel/gl_shard.py)
+     "shard_gl": null|true|false, "gl_halo": 32, "gl_rounds": 10}
 one JSON response per stdout line:
     {"ok": true, "out": PATH, "seconds": S, "realtime_x": R}
     {"ok": false, "error": "..."}
@@ -102,7 +105,12 @@ def serve_loop(make_synth, in_stream, out_stream, mesh=None) -> int:
             synth = make_synth(req["midi"], req["audio"])
             n_iter = int(req.get("n_iter", 300))
             if req.get("whole_clip"):
-                wav = synth.synthesize_whole_clip(n_iter=n_iter)
+                # shard_gl (default auto): time-shard Griffin-Lim over the
+                # mesh too, so long-clip serving scales in both phases
+                wav = synth.synthesize_whole_clip(
+                    n_iter=n_iter, shard_gl=req.get("shard_gl"),
+                    gl_halo=int(req.get("gl_halo", 32)),
+                    gl_rounds=int(req.get("gl_rounds", 10)))
             else:
                 wav = synth.synthesize_waveform(
                     n_iter=n_iter,

@@ -525,7 +525,11 @@ class TestWholeClipDeviceServing:
         log = []
         S.TRANSFER_LOG = log
         try:
-            wav = synth.synthesize_whole_clip(n_iter=3, mesh=mesh)
+            # shard_gl=False: this test pins the GATHERED-GL contract (bit
+            # comparison vs the host-contract spec + same GL program); the
+            # sharded-GL serving path has its own test below
+            wav = synth.synthesize_whole_clip(n_iter=3, mesh=mesh,
+                                              shard_gl=False)
         finally:
             S.TRANSFER_LOG = None
         assert np.all(np.isfinite(wav)) and len(wav) == want_spec.shape[0] * 256
@@ -542,6 +546,67 @@ class TestWholeClipDeviceServing:
         want_wav = np.asarray(jgl_ref(
             np.pad(want_spec, ((0, t_gl - t_out), (0, 0))), 3))[: t_out * 256]
         np.testing.assert_allclose(wav, want_wav, atol=2e-4, rtol=1e-3)
+
+
+class TestWholeClipShardedGL:
+    """Round-3: Griffin-Lim itself shards over the mesh time axis in
+    whole-clip serving (parallel/gl_shard.py), so BOTH serving phases scale
+    with devices and the prediction never gathers."""
+
+    def test_auto_shards_gl_and_stays_on_device(self, fake_experiment,
+                                                user_inputs, monkeypatch):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import Mesh
+        from ml_music_style_transfer_tpu.infer import synthesize as S
+        from ml_music_style_transfer_tpu.parallel import gl_shard as glsh
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path,
+                                 model_cfg=TINY)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("time",))
+        calls = []
+        real = glsh.sharded_griffinlim_from_log_power
+
+        def spy(*a, **kw):
+            calls.append(kw)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(glsh, "sharded_griffinlim_from_log_power", spy)
+        log = []
+        S.TRANSFER_LOG = log
+        try:
+            # default shard_gl=None: the 8s clip (t_pad//8 > 32-frame halo)
+            # must auto-route GL through the sharded program
+            wav = synth.synthesize_whole_clip(n_iter=3, mesh=mesh,
+                                              gl_rounds=2)
+        finally:
+            S.TRANSFER_LOG = None
+        assert len(calls) == 1, "sharded GL was not taken on the 8-dev mesh"
+        roll, _, _, t_total = synth.process_whole_clip(midi_path, wav_path)
+        assert np.all(np.isfinite(wav)) and np.abs(wav).max() > 0
+        assert len(wav) % 256 == 0 and len(wav) >= (t_total - 8) * 256
+        # device-resident contract holds on the sharded path too
+        spec_bytes = t_total * 1025 * 4
+        for direction, nbytes in log:
+            assert nbytes < 0.6 * spec_bytes, (direction, nbytes)
+
+    def test_explicit_false_keeps_gathered_path(self, fake_experiment,
+                                                user_inputs, monkeypatch):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from jax.sharding import Mesh
+        from ml_music_style_transfer_tpu.parallel import gl_shard as glsh
+        midi_path, wav_path = user_inputs
+        synth = AudioSynthesizer(fake_experiment, midi_path, wav_path,
+                                 model_cfg=TINY)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("time",))
+
+        def boom(*a, **kw):  # pragma: no cover - failure path
+            raise AssertionError("sharded GL must not run with shard_gl=False")
+
+        monkeypatch.setattr(glsh, "sharded_griffinlim_from_log_power", boom)
+        wav = synth.synthesize_whole_clip(n_iter=2, mesh=mesh, shard_gl=False)
+        assert np.all(np.isfinite(wav))
 
 
 def jgl_ref(spec_tmajor, n_iter):
