@@ -37,12 +37,13 @@ class MidiFile:
 
 def _read_varlen(data: bytes, pos: int) -> Tuple[int, int]:
     value = 0
-    while True:
+    for _ in range(4):  # SMF caps variable-length quantities at 4 bytes
         b = data[pos]
         pos += 1
         value = (value << 7) | (b & 0x7F)
         if not b & 0x80:
             return value, pos
+    raise ValueError("variable-length quantity longer than 4 bytes")
 
 
 class _TempoMap:
@@ -152,10 +153,25 @@ def _parse_track(data: bytes) -> Tuple[List[Tuple[int, int, int, int]], List[Tup
 
 
 def parse_midi_bytes(raw: bytes) -> MidiFile:
+    """Parse SMF bytes. Malformed/truncated input raises ValueError (never a
+    raw IndexError/struct.error) — serving feeds user-supplied files here
+    (reference model/inference.py:40 delegates this robustness to
+    pretty_midi; tests/test_midi_fuzz.py pins ours)."""
+    try:
+        return _parse_midi_bytes(raw)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed MIDI file: {e}") from e
+
+
+def _parse_midi_bytes(raw: bytes) -> MidiFile:
     if raw[:4] != b"MThd":
         raise ValueError("not a MIDI file (missing MThd)")
+    if len(raw) < 14:
+        raise ValueError("truncated MIDI header")
     hlen = struct.unpack(">I", raw[4:8])[0]
     fmt, ntrks, division = struct.unpack(">HHH", raw[8:14])
+    if hlen < 6:
+        raise ValueError(f"MThd length {hlen} < 6")
     pos = 8 + hlen
 
     all_note_events: List[List[Tuple[int, int, int, int]]] = []
@@ -164,6 +180,8 @@ def parse_midi_bytes(raw: bytes) -> MidiFile:
         if raw[pos : pos + 4] != b"MTrk":
             raise ValueError("malformed track chunk")
         tlen = struct.unpack(">I", raw[pos + 4 : pos + 8])[0]
+        if pos + 8 + tlen > len(raw):
+            raise ValueError("track chunk extends past end of file")
         body = raw[pos + 8 : pos + 8 + tlen]
         pos += 8 + tlen
         notes, tempi = _parse_track(body)
