@@ -22,7 +22,8 @@ from . import stft as _stft
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_iter", "hop_length", "win_length", "length", "momentum", "use_pallas_glue"
+        "n_iter", "hop_length", "win_length", "length", "momentum",
+        "use_pallas_glue", "transform",
     ),
 )
 def griffinlim(
@@ -35,6 +36,7 @@ def griffinlim(
     length: int | None = None,
     init_phase: jnp.ndarray | None = None,
     use_pallas_glue: bool | None = None,
+    transform: str | None = None,
 ) -> jnp.ndarray:
     """Recover a waveform from a magnitude spectrogram.
 
@@ -45,6 +47,13 @@ def griffinlim(
       key: PRNG key for the random phase init (ignored if init_phase given).
       init_phase: optional explicit phase (radians) for deterministic parity
         tests against the NumPy reference.
+      transform: "fft" | "dft" | None (auto). "dft" replaces the per-iteration
+        rfft/irfft with one fused MXU matmul per direction on a packed
+        [Re|Im] representation — measured 6.0x faster per GL iteration on the
+        v5e at the 10 s-clip shape (0.181 vs 1.090 ms, scripts/bench_dft_gl.py)
+        at equal spectral error (GL renormalizes phase every iteration, so
+        matmul rounding does not accumulate). Auto: "dft" on TPU for the
+        supported shapes, "fft" elsewhere (CPU FFTs beat CPU matmuls).
 
     Returns:
       (..., samples) waveform, length ``hop_length * (n_frames - 1)`` unless
@@ -66,7 +75,7 @@ def griffinlim(
             lambda mk: griffinlim(
                 mk[0], key=mk[1], n_iter=n_iter, hop_length=hop_length,
                 win_length=win_length, momentum=momentum, length=length,
-                use_pallas_glue=use_pallas_glue,
+                use_pallas_glue=use_pallas_glue, transform=transform,
             ),
             (magnitude, keys),
         )
@@ -81,12 +90,18 @@ def griffinlim(
     # the window/OLA/NOLA/crop/pad/frame data movement between the FFTs,
     # instead of ~10 HBM-materializing XLA HLOs per iteration. Auto-enabled
     # on TPU for the single-clip inference shapes it supports.
+    if transform is None:
+        transform = resolve_transform(magnitude.ndim, n_fft, win_length, length)
     if use_pallas_glue is None:
         from . import pallas as _pk
         from .pallas import gl_glue as _glue
 
+        # On the DFT path the Pallas glue measures a slight net LOSS (it
+        # breaks XLA's fusion between the two MXU matmuls; 0.448 vs
+        # 0.421 ms/iter on the v5e) — default it off there.
         use_pallas_glue = (
-            _pk.on_tpu()
+            transform != "dft"
+            and _pk.on_tpu()
             and magnitude.ndim == 2
             and length is None
             and win_length == n_fft
@@ -94,7 +109,8 @@ def griffinlim(
         )
     rebuilt0 = jnp.zeros_like(angles)
     angles, _ = gl_steps(magnitude, (angles, rebuilt0), n_iter, hop_length,
-                         win_length, momentum, use_pallas_glue, length)
+                         win_length, momentum, use_pallas_glue, length,
+                         transform)
     return _stft.istft(magnitude * angles, hop_length, win_length, length=length)
 
 
@@ -109,9 +125,59 @@ def resolve_pallas_glue(n_frames: int, n_fft: int, hop_length: int,
             and _glue.supported(n_frames, n_fft, hop_length))
 
 
+def resolve_transform(ndim: int, n_fft: int, win_length: int,
+                      length: int | None) -> str:
+    """Auto-select the per-iteration transform pair: MXU matmul-DFT on TPU
+    for the supported single-clip shapes, rfft/irfft elsewhere. Measured on
+    the v5e (scripts/bench_dft_gl.py): 6.0x per GL iteration over XLA's FFTs
+    at equal spectral error."""
+    from . import pallas as _pk
+
+    return ("dft" if _pk.on_tpu() and ndim == 2 and length is None
+            and win_length == n_fft else "fft")
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_matrices_host(n_fft: int, dtype_name: str):
+    """One-sided real-DFT matmul pair, float64-exact on the host then
+    rounded once to the compute dtype.
+
+    For real frames x (rows of length n_fft) with bins = n_fft//2 + 1:
+      rfft:  x @ fwd = [Re X | Im X]            fwd (n_fft, 2*bins)
+      irfft: [Re X | Im X] @ inv = x            inv (2*bins, n_fft)
+    inv carries the hermitian-symmetry weights (2 except DC/Nyquist) and the
+    1/n_fft normalization.
+
+    Host-computed and embedded as program constants on purpose: building the
+    cos/sin grids in-program costs ~0.25 ms/GL-iteration on the v5e (XLA
+    rematerializes them inside the fori_loop instead of hoisting), and at
+    n_fft=2048 the pair is 8-34 MB — under the axon remote-compile size
+    limit (measured OK at f32).
+    """
+    import ml_dtypes
+    import numpy as np
+
+    np_dtype = (ml_dtypes.bfloat16 if dtype_name == "bfloat16"
+                else np.dtype(dtype_name))
+    bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(bins)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    cos, sin = np.cos(ang), np.sin(ang)
+    fwd = np.concatenate([cos, -sin], axis=1)
+    w = np.where((k == 0) | (k == bins - 1), 1.0, 2.0)
+    inv = np.concatenate([(w * cos / n_fft).T, (-w * sin / n_fft).T], axis=0)
+    return fwd.astype(np_dtype), inv.astype(np_dtype)
+
+
+def _dft_matrices(n_fft: int, dtype=jnp.float32):
+    fwd, inv = _dft_matrices_host(n_fft, jnp.dtype(dtype).name)
+    return jnp.asarray(fwd), jnp.asarray(inv)
+
+
 def gl_steps(magnitude, carry, n_iter: int, hop_length: int, win_length: int,
              momentum: float = 0.99, use_pallas_glue: bool = False,
-             length: int | None = None):
+             length: int | None = None, transform: str = "fft"):
     """Run ``n_iter`` Griffin-Lim iterations on an explicit carry.
 
     ``carry`` is ``(angles, rebuilt_prev)``, both complex (bins, frames);
@@ -120,10 +186,23 @@ def gl_steps(magnitude, carry, n_iter: int, hop_length: int, win_length: int,
     (parallel/gl_shard.py) can interleave iteration blocks with halo
     refreshes — its Schwarz rounds need the momentum state to survive
     across communication points.
+
+    ``transform="dft"`` runs the loop on a packed-real [Re|Im]
+    (frames, 2*bins) representation with one MXU matmul per direction
+    (converted from/to the complex carry at the call boundary), keeping the
+    reference update rule bit-for-bit in structure; requires
+    win_length == n_fft and length is None (the supported serving shapes).
     """
     n_fft = 2 * (magnitude.shape[-2] - 1)
     eps = jnp.float32(1.1754944e-38)
     mom = jnp.float32(momentum / (1.0 + momentum))
+
+    if transform == "dft":
+        if win_length != n_fft or length is not None:
+            raise ValueError("transform='dft' needs win_length == n_fft "
+                             "and length=None")
+        return _gl_steps_dft(magnitude, carry, n_iter, hop_length, mom, eps,
+                             use_pallas_glue)
 
     if use_pallas_glue:
         from .pallas import gl_glue as _glue
@@ -160,6 +239,74 @@ def gl_steps(magnitude, carry, n_iter: int, hop_length: int, win_length: int,
             return angles, rebuilt
 
     return jax.lax.fori_loop(0, n_iter, body, carry)
+
+
+def _gl_steps_dft(magnitude, carry, n_iter: int, hop: int, mom, eps,
+                  use_pallas_glue: bool):
+    """Griffin-Lim iteration block with matmul-DFT transforms (MXU path).
+
+    The loop state is packed real: (frames, 2*bins) [Re | Im], unit-modulus
+    per (re, im) pair for ``angles``. The complex (bins, frames) carry is
+    converted at the boundaries only, so callers (incl. the time-sharded
+    GL's Schwarz rounds) keep their interface. bf16 matmul inputs with f32
+    accumulation on TPU — GL's per-iteration renormalization absorbs the
+    rounding (measured equal spectral error, scripts/bench_dft_gl.py);
+    f32 inputs elsewhere so the CPU test mesh stays accurate.
+    """
+    from . import pallas as _pk
+
+    bins, n_frames = magnitude.shape[-2], magnitude.shape[-1]
+    n_fft = 2 * (bins - 1)
+    in_dtype = jnp.bfloat16 if _pk.on_tpu() else jnp.float32
+    fwd, inv = _dft_matrices(n_fft, in_dtype)
+    mag_t = magnitude.T  # (frames, bins)
+
+    def pack(z):  # complex (bins, frames) -> real (frames, 2*bins)
+        return jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=0).T
+
+    def unpack(p):  # real (frames, 2*bins) -> complex (bins, frames)
+        return jax.lax.complex(p[:, :bins], p[:, bins:]).T
+
+    if use_pallas_glue:
+        from .pallas import gl_glue as _glue
+
+        window = jnp.asarray(_stft._window_const(n_fft, n_fft))
+        inv_blocks = jnp.asarray(
+            _stft._wss_inv_const(n_fft, n_fft, hop, n_frames).reshape(
+                n_frames + n_fft // hop - 1, hop))
+
+        def glue(frames):
+            return _glue.gl_consistency_frames(frames, window, inv_blocks)
+
+    else:
+        window = jnp.asarray(_stft._window_const(n_fft, n_fft))
+        inv_wss = jnp.asarray(_stft._wss_inv_const(n_fft, n_fft, hop, n_frames))
+
+        def glue(frames):
+            # istft tail + stft head minus the FFTs (center=True):
+            # window -> OLA -> /WSS -> crop -> reflect pad -> frame -> window
+            y = _stft._overlap_add(frames * window, hop) * inv_wss
+            y = y[n_fft // 2 : -(n_fft // 2)]
+            y = jnp.pad(y, (n_fft // 2, n_fft // 2), mode="reflect")
+            return _stft._frame_dense(y, n_fft, hop, n_frames) * window
+
+    def body(_, c):
+        ang, reb_prev = c
+        spec = jnp.concatenate([ang[:, :bins] * mag_t, ang[:, bins:] * mag_t],
+                               axis=-1)
+        frames = jnp.dot(spec.astype(in_dtype), inv,
+                         preferred_element_type=jnp.float32)
+        reb = jnp.dot(glue(frames).astype(in_dtype), fwd,
+                      preferred_element_type=jnp.float32)
+        a = reb - mom * reb_prev
+        norm = jnp.sqrt(a[:, :bins] ** 2 + a[:, bins:] ** 2) + eps
+        ang = jnp.concatenate([a[:, :bins] / norm, a[:, bins:] / norm],
+                              axis=-1)
+        return ang, reb
+
+    carry = (pack(carry[0]), pack(carry[1]))
+    ang, reb = jax.lax.fori_loop(0, n_iter, body, carry)
+    return unpack(ang), unpack(reb)
 
 
 def griffinlim_from_log_power(

@@ -104,7 +104,9 @@ def _sharded_gl_jit(mesh_key, axis_name: str, n_iter: int, hop: int,
                                  -1, -2)
         magnitude = _stft.inverse_log_power(jnp.swapaxes(ext, -1, -2), clip_max)
         n_fft = 2 * (magnitude.shape[-2] - 1)
-        glue = jgl.resolve_pallas_glue(magnitude.shape[-1], n_fft, hop, n_fft)
+        transform = jgl.resolve_transform(magnitude.ndim, n_fft, n_fft, None)
+        glue = (transform != "dft" and
+                jgl.resolve_pallas_glue(magnitude.shape[-1], n_fft, hop, n_fft))
         carry = (jax.lax.complex(jnp.cos(ext_phase), jnp.sin(ext_phase)),
                  jnp.zeros(magnitude.shape, jnp.complex64))
         # Schwarz rounds: blocks of plain GL iterations separated by a halo
@@ -114,7 +116,7 @@ def _sharded_gl_jit(mesh_key, axis_name: str, n_iter: int, hop: int,
         # ~1.5-2x the single-device spectral error at n_iter 100-300).
         for r, n_block in enumerate(blocks):
             carry = jgl.gl_steps(magnitude, carry, n_block, hop, n_fft,
-                                 use_pallas_glue=glue)
+                                 use_pallas_glue=glue, transform=transform)
             if r < len(blocks) - 1:
                 carry = (refresh(carry[0], t_loc), refresh(carry[1], t_loc))
         wav_ext = _stft.istft(magnitude * carry[0], hop, n_fft)

@@ -148,6 +148,76 @@ class TestGriffinLim:
         assert wav.shape[-1] == 256 * (spec.shape[-1] - 1)
 
 
+class TestMatmulDFTGriffinLim:
+    """The MXU matmul-DFT transform pair (transform="dft", default on TPU;
+    4.7x per GL iteration over XLA's FFTs at equal spectral error on the
+    v5e — scripts/bench_dft_gl.py). On the CPU test mesh it runs in f32."""
+
+    def test_dft_matrices_match_fft(self):
+        x = np.random.default_rng(0).standard_normal((7, 2048)).astype(np.float32)
+        fwd, inv = jgl._dft_matrices(2048)
+        got = np.asarray(jnp.dot(jnp.asarray(x), fwd))
+        ref = np.fft.rfft(x, axis=-1)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got[:, :1025], ref.real, atol=2e-4 * scale)
+        np.testing.assert_allclose(got[:, 1025:], ref.imag, atol=2e-4 * scale)
+        packed = np.concatenate([ref.real, ref.imag], -1).astype(np.float32)
+        back = np.asarray(jnp.dot(jnp.asarray(packed), inv))
+        np.testing.assert_allclose(back, x, atol=2e-4 * np.abs(x).max())
+
+    def test_dft_gl_matches_fft_gl(self):
+        """Same init, same iterations: the two transform pairs are the same
+        math, so the waveforms must agree to f32 roundoff accumulation."""
+        y = _harmonic_signal(10240)
+        mag = jnp.abs(jstft.stft(jnp.asarray(y), 2048, 256))
+        phase = jnp.asarray(
+            (2 * np.pi * np.random.default_rng(7).random(mag.shape))
+            .astype(np.float32))
+        w_fft = np.asarray(jgl.griffinlim(mag, n_iter=16, hop_length=256,
+                                          init_phase=phase, transform="fft"))
+        w_dft = np.asarray(jgl.griffinlim(mag, n_iter=16, hop_length=256,
+                                          init_phase=phase, transform="dft"))
+        assert _snr_db(w_fft.astype(np.float64), w_dft.astype(np.float64)) > 45.0
+
+    def test_dft_matches_numpy_reference_with_same_init(self):
+        """Direct parity vs the NumPy golden (the same bar the FFT path
+        clears), so the TPU default path is anchored to the reference."""
+        y = _harmonic_signal(10240)
+        mag = np.abs(npref.stft(y.astype(np.float64), 2048, 256)).astype(np.float32)
+        phase = (2 * np.pi * np.random.default_rng(7).random(mag.shape)).astype(
+            np.float32)
+        y_np = npref.griffinlim(mag.astype(np.float64), 16, 256,
+                                init_phase=phase.astype(np.float64))
+        y_jx = np.asarray(jgl.griffinlim(jnp.asarray(mag), n_iter=16,
+                                         hop_length=256,
+                                         init_phase=jnp.asarray(phase),
+                                         transform="dft"))
+        assert _snr_db(y_np.astype(np.float64), y_jx.astype(np.float64)) > 35.0
+
+    def test_gl_steps_dft_momentum_survives_block_split(self):
+        """gl_shard's Schwarz rounds call gl_steps in blocks with the complex
+        carry crossing each boundary: 8 iterations in one block must equal
+        4 + 4 with the carry converted out and back in between."""
+        y = _harmonic_signal(10240)
+        mag = jnp.abs(jstft.stft(jnp.asarray(y), 2048, 256))
+        rng = np.random.default_rng(3)
+        phase = jnp.asarray((2 * np.pi * rng.random(mag.shape)).astype(np.float32))
+        carry0 = (jax.lax.complex(jnp.cos(phase), jnp.sin(phase)),
+                  jnp.zeros(mag.shape, jnp.complex64))
+        one = jgl.gl_steps(mag, carry0, 8, 256, 2048, transform="dft")
+        half = jgl.gl_steps(mag, carry0, 4, 256, 2048, transform="dft")
+        two = jgl.gl_steps(mag, half, 4, 256, 2048, transform="dft")
+        np.testing.assert_allclose(np.asarray(one[0]), np.asarray(two[0]),
+                                   atol=1e-5)
+
+    def test_dft_rejects_unsupported_shapes(self):
+        mag = jnp.ones((1025, 16), jnp.float32)
+        carry = (jnp.ones(mag.shape, jnp.complex64),
+                 jnp.zeros(mag.shape, jnp.complex64))
+        with pytest.raises(ValueError, match="dft"):
+            jgl.gl_steps(mag, carry, 2, 256, 1024, transform="dft")
+
+
 class TestMel:
     def test_filterbank_shape_and_coverage(self):
         fb = np.asarray(jmel.mel_filterbank(44100, 2048, 128))
