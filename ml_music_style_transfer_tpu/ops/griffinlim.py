@@ -137,42 +137,9 @@ def resolve_transform(ndim: int, n_fft: int, win_length: int,
             and win_length == n_fft else "fft")
 
 
-@functools.lru_cache(maxsize=8)
-def _dft_matrices_host(n_fft: int, dtype_name: str):
-    """One-sided real-DFT matmul pair, float64-exact on the host then
-    rounded once to the compute dtype.
-
-    For real frames x (rows of length n_fft) with bins = n_fft//2 + 1:
-      rfft:  x @ fwd = [Re X | Im X]            fwd (n_fft, 2*bins)
-      irfft: [Re X | Im X] @ inv = x            inv (2*bins, n_fft)
-    inv carries the hermitian-symmetry weights (2 except DC/Nyquist) and the
-    1/n_fft normalization.
-
-    Host-computed and embedded as program constants on purpose: building the
-    cos/sin grids in-program costs ~0.25 ms/GL-iteration on the v5e (XLA
-    rematerializes them inside the fori_loop instead of hoisting), and at
-    n_fft=2048 the pair is 8-34 MB — under the axon remote-compile size
-    limit (measured OK at f32).
-    """
-    import ml_dtypes
-    import numpy as np
-
-    np_dtype = (ml_dtypes.bfloat16 if dtype_name == "bfloat16"
-                else np.dtype(dtype_name))
-    bins = n_fft // 2 + 1
-    n = np.arange(n_fft)[:, None]
-    k = np.arange(bins)[None, :]
-    ang = 2.0 * np.pi * n * k / n_fft
-    cos, sin = np.cos(ang), np.sin(ang)
-    fwd = np.concatenate([cos, -sin], axis=1)
-    w = np.where((k == 0) | (k == bins - 1), 1.0, 2.0)
-    inv = np.concatenate([(w * cos / n_fft).T, (-w * sin / n_fft).T], axis=0)
-    return fwd.astype(np_dtype), inv.astype(np_dtype)
-
-
-def _dft_matrices(n_fft: int, dtype=jnp.float32):
-    fwd, inv = _dft_matrices_host(n_fft, jnp.dtype(dtype).name)
-    return jnp.asarray(fwd), jnp.asarray(inv)
+# One-sided real-DFT matmul pair (shared with the forward STFT's matmul
+# path; see stft._dft_matrices_host for construction + why host constants).
+_dft_matrices = _stft._dft_matrices
 
 
 def gl_steps(magnitude, carry, n_iter: int, hop_length: int, win_length: int,

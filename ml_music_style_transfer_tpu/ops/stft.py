@@ -44,6 +44,43 @@ def _wss_inv_const(n_fft: int, win_length: int, hop: int, n_frames: int) -> np.n
     return inv.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_matrices_host(n_fft: int, dtype_name: str):
+    """One-sided real-DFT matmul pair, float64-exact on the host then rounded
+    once to the compute dtype.
+
+    For real frames x (rows of length n_fft) with bins = n_fft//2 + 1:
+      rfft:  x @ fwd = [Re X | Im X]            fwd (n_fft, 2*bins)
+      irfft: [Re X | Im X] @ inv = x            inv (2*bins, n_fft)
+    inv carries the hermitian-symmetry weights (2 except DC/Nyquist) and the
+    1/n_fft normalization.
+
+    Host-computed and embedded as program constants on purpose: building the
+    cos/sin grids in-program costs ~0.25 ms per Griffin-Lim iteration on the
+    v5e (XLA rematerializes them inside fori_loops instead of hoisting), and
+    at n_fft=2048 the pair is 8-34 MB — under the axon remote-compile size
+    limit (measured OK at f32).
+    """
+    import ml_dtypes
+
+    np_dtype = (ml_dtypes.bfloat16 if dtype_name == "bfloat16"
+                else np.dtype(dtype_name))
+    bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(bins)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    cos, sin = np.cos(ang), np.sin(ang)
+    fwd = np.concatenate([cos, -sin], axis=1)
+    w = np.where((k == 0) | (k == bins - 1), 1.0, 2.0)
+    inv = np.concatenate([(w * cos / n_fft).T, (-w * sin / n_fft).T], axis=0)
+    return fwd.astype(np_dtype), inv.astype(np_dtype)
+
+
+def _dft_matrices(n_fft: int, dtype=jnp.float32):
+    fwd, inv = _dft_matrices_host(n_fft, jnp.dtype(dtype).name)
+    return jnp.asarray(fwd), jnp.asarray(inv)
+
+
 def n_frames_for(n_samples: int, hop_length: int, center: bool = True) -> int:
     """Frame-count contract: 1 + n_samples // hop for centered STFT."""
     if center:
@@ -159,13 +196,43 @@ def inverse_log_power(spec: jnp.ndarray, clip_max: float = 20.0) -> jnp.ndarray:
     return jnp.sqrt(jnp.expm1(jnp.clip(spec, 0.0, clip_max)))
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length"))
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "transform"))
 def log_power_stft(
-    y: jnp.ndarray, n_fft: int = 2048, hop_length: int = 256
+    y: jnp.ndarray, n_fft: int = 2048, hop_length: int = 256,
+    transform: str | None = None,
 ) -> jnp.ndarray:
     """Fused batched chunk->log-power-spectrogram op (the preprocessing hot path).
 
     (..., samples) -> (..., 1 + n_fft//2, n_frames); equals
     reference process_spectrum_from_chunk (preprocess.py:47-57).
+
+    ``transform="dft"`` (the TPU default) replaces the per-frame rfft with a
+    single MXU matmul against the packed [Re|Im] DFT matrix at bf16x3
+    precision and never materializes a complex array: measured 2.5x over
+    XLA's FFT on the v5e at preprocess batch shapes (5.4M vs 2.1M frames/s,
+    /tmp-scripted precision sweep recorded in BASELINE.md) with max log-space
+    error 1.75e-4 vs the float64 golden — same accuracy class as the TPU FFT
+    (1.05e-4) and 5x inside the 1e-3 librosa-parity contract. Single-pass
+    bf16 (precision=DEFAULT) would be 1.5x faster still but breaks that
+    contract (max err 0.032), so HIGH it is.
     """
-    return log_power(stft(y, n_fft=n_fft, hop_length=hop_length))
+    if transform is None:
+        from . import pallas as _pk
+
+        transform = "dft" if _pk.on_tpu() else "fft"
+    if transform != "dft":
+        return log_power(stft(y, n_fft=n_fft, hop_length=hop_length))
+    bins = n_fft // 2 + 1
+    window = jnp.asarray(_window_const(n_fft, n_fft))
+    pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    y = jnp.pad(y, pad, mode="reflect")
+    n_frames = 1 + (y.shape[-1] - n_fft) // hop_length
+    if n_fft % hop_length == 0:
+        frames = _frame_dense(y, n_fft, hop_length, n_frames)
+    else:
+        frames = _frame_gather(y, n_fft, hop_length, n_frames)
+    fwd, _ = _dft_matrices(n_fft, jnp.float32)
+    p = jnp.dot(frames * window, fwd, precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32)
+    return jnp.swapaxes(jnp.log1p(p[..., :bins] ** 2 + p[..., bins:] ** 2),
+                        -1, -2)
