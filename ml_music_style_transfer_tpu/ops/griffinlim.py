@@ -63,11 +63,13 @@ def griffinlim(
     if win_length is None:
         win_length = n_fft
     if magnitude.ndim == 3 and init_phase is None:
-        # Batched clips: sequential on-device map, one dispatch. Measured on
-        # the v5e at 8x10s clips: XLA's natively-batched FFT path costs
-        # 0.59 s/clip vs 0.30 single-clip; lax.map restores 0.38 s/clip and
-        # keeps the per-clip Pallas glue. A single clip already saturates
-        # the chip, so true batching has nothing to win here.
+        # Batched clips: sequential on-device map, one dispatch. lax.map
+        # beats true batching for BOTH transforms, measured on the v5e at
+        # 8x10s clips: XLA's natively-batched FFTs cost 0.59 s/clip vs 0.38
+        # mapped, and the batched DFT matmuls cost 4.0 ms/iter-of-8 vs 1.9
+        # mapped (the 3D OLA/pad/frame glue lowers badly; the
+        # (N*frames, 2*bins) matmul does not make up for it). Per-clip DFT
+        # under lax.map: 0.071 s/clip for GL300.
         if key is None:
             key = jax.random.PRNGKey(0)
         keys = jax.random.split(key, magnitude.shape[0])
@@ -212,13 +214,17 @@ def _gl_steps_dft(magnitude, carry, n_iter: int, hop: int, mom, eps,
                   use_pallas_glue: bool):
     """Griffin-Lim iteration block with matmul-DFT transforms (MXU path).
 
-    The loop state is packed real: (frames, 2*bins) [Re | Im], unit-modulus
-    per (re, im) pair for ``angles``. The complex (bins, frames) carry is
-    converted at the boundaries only, so callers (incl. the time-sharded
-    GL's Schwarz rounds) keep their interface. bf16 matmul inputs with f32
-    accumulation on TPU — GL's per-iteration renormalization absorbs the
-    rounding (measured equal spectral error, scripts/bench_dft_gl.py);
-    f32 inputs elsewhere so the CPU test mesh stays accurate.
+    The loop state is packed real: (..., frames, 2*bins) [Re | Im],
+    unit-modulus per (re, im) pair for ``angles``. The complex
+    (..., bins, frames) carry is converted at the boundaries only, so
+    callers (incl. the time-sharded GL's Schwarz rounds) keep their
+    interface. Leading batch dims ride the SAME matmul — XLA folds
+    (N, frames, 2*bins) @ (2*bins, n_fft) into one (N*frames, ...) MXU
+    matmul, which is how batched multi-clip GL beats the lax.map path.
+    bf16 matmul inputs with f32 accumulation on TPU — GL's per-iteration
+    renormalization absorbs the rounding (measured equal spectral error,
+    scripts/bench_dft_gl.py); f32 inputs elsewhere so the CPU test mesh
+    stays accurate.
     """
     from . import pallas as _pk
 
@@ -226,13 +232,15 @@ def _gl_steps_dft(magnitude, carry, n_iter: int, hop: int, mom, eps,
     n_fft = 2 * (bins - 1)
     in_dtype = jnp.bfloat16 if _pk.on_tpu() else jnp.float32
     fwd, inv = _dft_matrices(n_fft, in_dtype)
-    mag_t = magnitude.T  # (frames, bins)
+    mag_t = jnp.swapaxes(magnitude, -1, -2)  # (..., frames, bins)
 
-    def pack(z):  # complex (bins, frames) -> real (frames, 2*bins)
-        return jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=0).T
+    def pack(z):  # complex (..., bins, frames) -> real (..., frames, 2*bins)
+        return jnp.swapaxes(
+            jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=-2), -1, -2)
 
-    def unpack(p):  # real (frames, 2*bins) -> complex (bins, frames)
-        return jax.lax.complex(p[:, :bins], p[:, bins:]).T
+    def unpack(p):  # real (..., frames, 2*bins) -> complex (..., bins, frames)
+        return jnp.swapaxes(
+            jax.lax.complex(p[..., :bins], p[..., bins:]), -1, -2)
 
     if use_pallas_glue:
         from .pallas import gl_glue as _glue
@@ -253,21 +261,22 @@ def _gl_steps_dft(magnitude, carry, n_iter: int, hop: int, mom, eps,
             # istft tail + stft head minus the FFTs (center=True):
             # window -> OLA -> /WSS -> crop -> reflect pad -> frame -> window
             y = _stft._overlap_add(frames * window, hop) * inv_wss
-            y = y[n_fft // 2 : -(n_fft // 2)]
-            y = jnp.pad(y, (n_fft // 2, n_fft // 2), mode="reflect")
+            y = y[..., n_fft // 2 : y.shape[-1] - n_fft // 2]
+            pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+            y = jnp.pad(y, pad, mode="reflect")
             return _stft._frame_dense(y, n_fft, hop, n_frames) * window
 
     def body(_, c):
         ang, reb_prev = c
-        spec = jnp.concatenate([ang[:, :bins] * mag_t, ang[:, bins:] * mag_t],
-                               axis=-1)
+        spec = jnp.concatenate(
+            [ang[..., :bins] * mag_t, ang[..., bins:] * mag_t], axis=-1)
         frames = jnp.dot(spec.astype(in_dtype), inv,
                          preferred_element_type=jnp.float32)
         reb = jnp.dot(glue(frames).astype(in_dtype), fwd,
                       preferred_element_type=jnp.float32)
         a = reb - mom * reb_prev
-        norm = jnp.sqrt(a[:, :bins] ** 2 + a[:, bins:] ** 2) + eps
-        ang = jnp.concatenate([a[:, :bins] / norm, a[:, bins:] / norm],
+        norm = jnp.sqrt(a[..., :bins] ** 2 + a[..., bins:] ** 2) + eps
+        ang = jnp.concatenate([a[..., :bins] / norm, a[..., bins:] / norm],
                               axis=-1)
         return ang, reb
 

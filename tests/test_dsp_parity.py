@@ -223,6 +223,28 @@ class TestMatmulDFTGriffinLim:
         np.testing.assert_allclose(np.asarray(one[0]), np.asarray(two[0]),
                                    atol=1e-5)
 
+    def test_dft_batched_clips_match_per_clip(self):
+        """transform="dft" with 3D input maps the per-clip DFT program over
+        clips (true batching measured SLOWER on the v5e — the 3D glue
+        lowers badly); per-clip split keys make it match the 2D path."""
+        y0 = _harmonic_signal(10240)
+        y1 = _harmonic_signal(10240, seed=5)
+        mags = np.stack([
+            np.abs(np.asarray(jstft.stft(jnp.asarray(y0), 2048, 256))),
+            np.abs(np.asarray(jstft.stft(jnp.asarray(y1 * 0.5), 2048, 256))),
+        ])
+        key = jax.random.PRNGKey(3)
+        batched = np.asarray(jgl.griffinlim(jnp.asarray(mags), key=key,
+                                            n_iter=8, hop_length=256,
+                                            transform="dft"))
+        keys = jax.random.split(key, 2)
+        for b in range(2):
+            single = np.asarray(jgl.griffinlim(jnp.asarray(mags[b]),
+                                               key=keys[b], n_iter=8,
+                                               hop_length=256,
+                                               transform="dft"))
+            np.testing.assert_allclose(batched[b], single, atol=1e-5, rtol=1e-5)
+
     def test_dft_rejects_unsupported_shapes(self):
         mag = jnp.ones((1025, 16), jnp.float32)
         carry = (jnp.ones(mag.shape, jnp.complex64),
