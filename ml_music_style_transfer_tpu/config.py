@@ -169,6 +169,12 @@ class TrainConfig:
     ema_decay: float | None = None
     # Mesh: (data, model) axis sizes; (1, 1) is the single-chip degenerate case.
     mesh_shape: Tuple[int, int] = (1, 1)
+    # ZeRO-1: shard optimizer state (Adam moments, EMA) over the data axes.
+    # Params stay replicated for compute; each step re-constrains them after
+    # the (data-sharded) update, so GSPMD inserts one param all-gather per
+    # step in exchange for moments costing 1/N_data HBM per device. Off by
+    # default (a no-op on 1-wide data axes either way).
+    zero_opt: bool = False
 
 
 DEFAULT_DSP = DSPConfig()

@@ -164,6 +164,47 @@ def activation_constrainer(mesh: Mesh | None):
     return constrain
 
 
+def zero_extend_spec(spec: P, shape, mesh: Mesh) -> P:
+    """ZeRO-style extension of a PartitionSpec: additionally shard the
+    LARGEST free dim (one not already claimed by another axis) that divides
+    by the batch axes' product, along the batch axes ('data', or
+    ('dcn','data') jointly on a hybrid mesh).
+
+    The reference has no optimizer-state sharding (single device); this is
+    the ZeRO-1 rule (Rajbhandari et al. 2019) expressed as GSPMD specs:
+    Adam moments (20 B/param at bf16 compact, 16 GB at full width — a whole
+    v5e HBM) drop to 1/N per device while params stay replicated for
+    compute. Dims divisible by nothing stay put (biases etc. — trivia)."""
+    axes = batch_pspec(mesh)[0]  # 'data' or ('dcn','data')
+    n = mesh.shape["data"] * dict(mesh.shape).get("dcn", 1)
+    if n <= 1:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_size = None, 0
+    for i, (dim, taken) in enumerate(zip(shape, entries)):
+        if taken is None and dim % n == 0 and dim > best_size:
+            best, best_size = i, dim
+    if best is None:
+        return spec
+    entries[best] = axes
+    return P(*entries)
+
+
+def zero_shardings(tree, mesh: Mesh):
+    """NamedSharding tree for ZeRO-1 placement of a CONCRETE state pytree:
+    every array leaf keeps its existing spec (e.g. TP dims) extended by
+    :func:`zero_extend_spec`; scalars stay replicated. Apply with
+    jax.device_put / with_sharding_constraint."""
+
+    def one(leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        base = getattr(getattr(leaf, "sharding", None), "spec", P())
+        return NamedSharding(mesh, zero_extend_spec(base, leaf.shape, mesh))
+
+    return jax.tree_util.tree_map(one, tree)
+
+
 def per_device_param_bytes(params) -> tuple[int, int]:
     """(per_device_bytes, total_bytes) for a sharded param pytree."""
     import math

@@ -72,6 +72,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "or 'data' (rows sharded 1/N per device, GSPMD "
                         "gather collectives; use when the dataset is the "
                         "HBM constraint)")
+    p.add_argument("--zero-opt", action="store_true",
+                   help="ZeRO-1: shard optimizer state (Adam moments, EMA) "
+                        "1/N over the data axes; params stay replicated for "
+                        "compute at the cost of one param all-gather per "
+                        "step (no-op on a 1-wide data axis)")
     p.add_argument("--ckpt-format", choices=("msgpack", "orbax"), default="msgpack",
                    help="'orbax': async per-shard checkpoint writes + "
                         "restore-into-sharding on resume (no full host "
@@ -100,6 +105,7 @@ def main(argv=None) -> None:
         grad_clip_norm=args.grad_clip_norm,
         warmup_steps=args.warmup_steps,
         ema_decay=args.ema_decay,
+        zero_opt=args.zero_opt,
     )
     mesh = pmesh.make_mesh(args.mesh_data, args.mesh_model) \
         if args.mesh_data * args.mesh_model > 1 else None

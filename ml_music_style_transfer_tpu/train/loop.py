@@ -125,6 +125,7 @@ class Trainer:
         self.exp_dir = os.path.join(exp_root, train_cfg.exp_name)
         self._batch_sharding = pmesh.batch_sharding(self.mesh)
         self._repl = pmesh.replicated(self.mesh)
+        self._zero_shardings = None  # set by _apply_zero (init_state/resume)
         self._build_steps()
 
     # ---- jitted steps -------------------------------------------------
@@ -147,6 +148,15 @@ class Trainer:
             loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if self._zero_shardings is not None:
+                # ZeRO-1: the moment update ran data-sharded; pin the new
+                # opt_state to its 1/N placement and gather params back to
+                # their compute placement (TP/replicated). Closure reads the
+                # shardings at trace time — init_state/restore runs first.
+                opt_state = jax.lax.with_sharding_constraint(
+                    opt_state, self._zero_shardings)
+                params = jax.lax.with_sharding_constraint(
+                    params, self._param_shardings)
             return params, opt_state, loss
 
         def eval_step(params, batch):
@@ -201,7 +211,21 @@ class Trainer:
         params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), *dummy)
         params = pmesh.shard_params(params, self.mesh)
         opt_state = jax.jit(self.tx.init)(params)
+        opt_state = self._apply_zero(params, opt_state)
         return params, opt_state
+
+    def _apply_zero(self, params, opt_state):
+        """ZeRO-1 placement: shard the optimizer state over the data axes
+        (cfg.zero_opt) and remember the shardings for the step's
+        re-constraints. No-op (and no recorded shardings) when off or on a
+        1-wide data axis."""
+        self._zero_shardings = None
+        n_data = self.mesh.shape.get("data", 1) * self.mesh.shape.get("dcn", 1)
+        if not getattr(self.cfg, "zero_opt", False) or n_data <= 1:
+            return opt_state
+        self._param_shardings = pmesh.param_shardings(params, self.mesh)
+        self._zero_shardings = pmesh.zero_shardings(opt_state, self.mesh)
+        return jax.device_put(opt_state, self._zero_shardings)
 
     def set_lr(self, opt_state, lr: float):
         """Inject a new learning rate without retracing.
