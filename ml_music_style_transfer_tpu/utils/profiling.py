@@ -67,8 +67,15 @@ def enable_persistent_compile_cache(path: str | None = None) -> str | None:
 
     A flagship-width serving/train process pays multi-minute XLA compiles on
     every cold start (measured ~8 min for the serve program, ~3 min for the
-    train step on the v5e); the persistent cache turns restarts into
-    seconds. Default location ~/.cache/mmst_jax; override with the
+    train step on the v5e). The persistent cache eliminates that on
+    platforms where jax compiles LOCALLY (CPU tests: warm /tmp cache takes
+    recompiles to ~0). CAVEAT, measured round 3: under the tunneled axon
+    PJRT plugin the big programs compile on the REMOTE server and bypass
+    this cache entirely (three identical cold serves each paid the same
+    ~60 s first-call cost with a fully-populated cache dir; only small
+    host-side jits appear in it) — keep serving processes long-lived there
+    (scripts/serve.py daemon) instead of relying on restarts being cheap.
+    Default location ~/.cache/mmst_jax; override with the
     MMST_COMPILE_CACHE env var, disable with MMST_COMPILE_CACHE=0. Returns
     the directory used (None if disabled).
     """
