@@ -138,11 +138,15 @@ def batch_synthesize_waveforms(synths, n_iter: int = 300, overlap: bool = True,
             errors[i] = f"{type(e).__name__}: {e}"
 
     wavs: list = [None] * n
-    groups: dict[int, list[int]] = {}
+    # group key includes the DSP config: requests with equal frame counts
+    # but different hop/clip-max must not share one GL program's constants
+    groups: dict[tuple, list[int]] = {}
     for i in range(n):
         if errors[i] is None:
-            groups.setdefault(t_gls[i], []).append(i)
-    for t_gl, idxs in groups.items():
+            hp_i = synths[i].hp
+            groups.setdefault(
+                (t_gls[i], hp_i.ws, hp_i.clip_log_power_max), []).append(i)
+    for (t_gl, _ws, _cm), idxs in groups.items():
         hp = synths[idxs[0]].hp
         batch = jnp.stack([jnp.swapaxes(specs[i][:t_gl], -1, -2) for i in idxs])
         seed_vec = np.asarray(

@@ -67,10 +67,41 @@ def _fetch(x) -> np.ndarray:
 # ---- module-level serving caches (round-2 verdict #7) -------------------
 # Keyed by the frozen ModelConfig dataclass / resolved checkpoint path, so
 # every AudioSynthesizer for the same model shares ONE compiled forward and
-# ONE device-resident param tree.
-_PARAMS_CACHE: dict = {}        # (checkpoint_path, use_ema) -> device params
-_TS_FN_CACHE: dict = {}         # time-sharded forward programs
-_TS_PARAMS_CACHE: dict = {}     # mesh-replicated params for whole-clip path
+# ONE device-resident param tree. Capacity-capped: a long-lived daemon that
+# outlives checkpoint re-saves or serves many distinct whole-clip lengths
+# must not pin every generation's ~GB-scale device tree in HBM forever.
+
+
+class _LRU:
+    def __init__(self, cap: int):
+        import collections
+
+        self.cap = cap
+        self._d = collections.OrderedDict()
+
+    def get(self, key, default=None):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        return default
+
+    def put(self, key, value) -> None:
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.cap:
+            self._d.popitem(last=False)
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
+
+
+_PARAMS_CACHE = _LRU(2)     # (checkpoint_path, use_ema, mtime) -> device params
+_TS_FN_CACHE = _LRU(8)      # time-sharded forward programs (per clip length)
+# whole-clip mesh-replicated params: key -> (source_params, replicated).
+# The source tree rides in the VALUE so a hit can be identity-checked —
+# an "inmem" key carries id(params), and CPython reuses addresses after GC,
+# so a bare id match could silently serve a dead tree's replica.
+_TS_PARAMS_CACHE = _LRU(2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -197,13 +228,14 @@ class AudioSynthesizer:
         self._params_key = (os.path.abspath(checkpoint_path), use_ema,
                             os.path.getmtime(checkpoint_path)
                             if os.path.exists(checkpoint_path) else None)
-        if self._params_key in _PARAMS_CACHE:
+        cached = _PARAMS_CACHE.get(self._params_key)
+        if cached is not None:
             # serving hygiene: a second synthesizer for the same experiment
             # reuses the device-resident tree — no re-read, no re-upload
-            self.params = _PARAMS_CACHE[self._params_key]
+            self.params = cached
         else:
             self.params = self._load_params(checkpoint_path)
-            _PARAMS_CACHE[self._params_key] = self.params
+            _PARAMS_CACHE.put(self._params_key, self.params)
 
     def _load_params(self, path: str):
         if path.endswith(".tar"):
@@ -421,6 +453,43 @@ class AudioSynthesizer:
         return _fetch(spec)[:t_total]
 
     # ---- whole-clip one-pass path (time-sharded across a mesh) ----------
+    def _ts_programs(self, t_total: int, mesh, axis_name: str):
+        """(ts_fn, t_pad, t_out, mesh-replicated params, mesh) for the
+        whole-clip path, via the capped module caches (shared by
+        predict_spectrogram_whole_clip and synthesize_whole_clip).
+
+        Params replicate onto the mesh ONCE per (checkpoint, mesh) —
+        directly device->device (XLA broadcasts over ICI; identity on a
+        1-device mesh). The round-2 code gathered to host first, a ~2.9 GB
+        round-trip at flagship width on this 0.05 GB/s link. Cache hits are
+        identity-validated against the live self.params so an "inmem" key
+        whose id() was recycled by the allocator can never serve a dead
+        tree's replica."""
+        from jax.sharding import Mesh
+        from ..parallel import time_shard as tsh
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), (axis_name,))
+        mesh_key = (axis_name, tuple(mesh.shape.items()),
+                    tuple(d.id for d in mesh.devices.flat))
+        fn_key = (self.model_cfg, t_total, mesh_key)
+        entry = _TS_FN_CACHE.get(fn_key)
+        if entry is None:
+            entry = tsh.make_time_sharded_forward(
+                self.model_cfg, mesh, t_total, axis_name=axis_name)
+            _TS_FN_CACHE.put(fn_key, entry)
+        ts_fn, t_pad, t_out = entry
+        p_key = (self._params_key, mesh_key)
+        cached = _TS_PARAMS_CACHE.get(p_key)
+        if cached is None or cached[0] is not self.params:
+            replicated = jax.device_put(
+                self.params,
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+            _TS_PARAMS_CACHE.put(p_key, (self.params, replicated))
+        else:
+            replicated = cached[1]
+        return ts_fn, t_pad, t_out, replicated, mesh
+
     def process_whole_clip(self, midi_path: str, audio_path: str):
         """Unchunked inputs for the one-pass forward: roll/onoff (T,128) and
         cond spec (T,1025) cyclically extended/cropped to the MIDI's frame
@@ -450,29 +519,10 @@ class AudioSynthesizer:
         (t_out, n_bins); t_out follows the net's temporal ladder (which for
         non-860-frame inputs differs slightly from t_total, as it does in
         the reference)."""
-        from jax.sharding import Mesh
         from ..parallel import time_shard as tsh
 
-        if mesh is None:
-            mesh = Mesh(np.array(jax.devices()), (axis_name,))
-        mesh_key = (axis_name, tuple(mesh.shape.items()),
-                    tuple(d.id for d in mesh.devices.flat))
-        fn_key = (self.model_cfg, t_total, mesh_key)
-        if fn_key not in _TS_FN_CACHE:
-            _TS_FN_CACHE[fn_key] = tsh.make_time_sharded_forward(
-                self.model_cfg, mesh, t_total, axis_name=axis_name)
-        ts_fn, t_pad, t_out = _TS_FN_CACHE[fn_key]
-        p_key = (self._params_key, mesh_key)
-        if p_key not in _TS_PARAMS_CACHE:
-            # replicate params onto the mesh ONCE per (checkpoint, mesh) —
-            # directly device->device (XLA broadcasts over ICI; on a
-            # 1-device mesh it is the identity). The round-2 code gathered
-            # to host first, a ~2.9 GB round-trip at flagship width on this
-            # 0.05 GB/s link.
-            _TS_PARAMS_CACHE[p_key] = jax.device_put(
-                self.params,
-                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
-        ts_params = _TS_PARAMS_CACHE[p_key]
+        ts_fn, t_pad, t_out, ts_params, mesh = self._ts_programs(
+            t_total, mesh, axis_name)
 
         def pad_shard(a):
             p = np.zeros((1, t_pad, a.shape[-1]), np.float32)
@@ -522,18 +572,8 @@ class AudioSynthesizer:
         # cyclic extension to the MIDI's frame count, on device
         cond_dev = spec_dev[jnp.mod(jnp.arange(t_total), n_valid)]
 
-        mesh_key = (axis_name, tuple(mesh.shape.items()),
-                    tuple(d.id for d in mesh.devices.flat))
-        fn_key = (self.model_cfg, t_total, mesh_key)
-        if fn_key not in _TS_FN_CACHE:
-            _TS_FN_CACHE[fn_key] = tsh.make_time_sharded_forward(
-                self.model_cfg, mesh, t_total, axis_name=axis_name)
-        ts_fn, t_pad, t_out = _TS_FN_CACHE[fn_key]
-        p_key = (self._params_key, mesh_key)
-        if p_key not in _TS_PARAMS_CACHE:
-            _TS_PARAMS_CACHE[p_key] = jax.device_put(
-                self.params,
-                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        ts_fn, t_pad, t_out, ts_params, mesh = self._ts_programs(
+            t_total, mesh, axis_name)
 
         def pad_shard_host(a):  # rolls: (T,128) int-valued, small
             p = np.zeros((1, t_pad, a.shape[-1]), np.float32)
@@ -542,7 +582,7 @@ class AudioSynthesizer:
 
         cond_padded = jnp.pad(cond_dev, ((0, t_pad - t_total), (0, 0)))[None]
         cond_sharded = tsh.shard_time(cond_padded, mesh, axis_name)  # D2D
-        out = ts_fn(_TS_PARAMS_CACHE[p_key], pad_shard_host(roll),
+        out = ts_fn(ts_params, pad_shard_host(roll),
                     cond_sharded, pad_shard_host(onoff))
         n_axis = mesh.shape[axis_name]
         if shard_gl is None:

@@ -52,6 +52,8 @@ class _TempoMap:
     def __init__(self, events: List[Tuple[int, int]], tpq: int):
         if not events or events[0][0] != 0:
             events = [(0, 500000)] + events  # SMF default: 120 bpm
+        if tpq <= 0:
+            raise ValueError("metrical division with 0 ticks per quarter")
         self.tpq = tpq
         # precompute cumulative seconds at each tempo-change tick
         self.ticks = [e[0] for e in events]
@@ -126,6 +128,12 @@ def _parse_track(data: bytes) -> Tuple[List[Tuple[int, int, int, int]], List[Tup
         if kind in (0x80, 0x90):
             pitch, vel = data[pos], data[pos + 1]
             pos += 2
+            if pitch & 0x80 or vel & 0x80:
+                # SMF data bytes are 7-bit; a high bit here means a corrupt
+                # stream (a pitch >= 128 would crash the (T, 128) piano-roll
+                # scatter downstream with a raw IndexError)
+                raise ValueError(
+                    f"data byte out of range in note event: {pitch}, {vel}")
             if kind == 0x90 and vel > 0:
                 notes.append((tick, 1, pitch, vel))
             else:

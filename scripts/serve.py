@@ -72,8 +72,12 @@ def _serve_batch(make_synth, req, mesh) -> dict:
         if errors[j] is not None:
             results[i] = {"ok": False, "error": errors[j]}
             continue
-        _write_wav_out(wavs[j], items[i]["out"], synths[j].hp.sr)
-        results[i] = {"ok": True, "out": items[i]["out"]}
+        try:  # writes are per-item isolated too: one unwritable "out" path
+            # must not discard the other items' finished results
+            _write_wav_out(wavs[j], items[i]["out"], synths[j].hp.sr)
+            results[i] = {"ok": True, "out": items[i]["out"]}
+        except Exception as e:  # noqa: BLE001 — per-request isolation
+            results[i] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
     return {"ok": True, "batch": results}
 
 

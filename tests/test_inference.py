@@ -138,6 +138,43 @@ class TestSynthesizer:
         np.testing.assert_allclose(np.asarray(b), np.asarray(a) + 1.0,
                                    atol=1e-6)
 
+    def test_ts_params_cache_identity_validated(self, fake_experiment):
+        """An in-memory params key carries id(params); CPython reuses
+        addresses after GC, so a hit must be identity-checked against the
+        live tree — a colliding key must re-replicate, never serve the dead
+        tree's replica."""
+        import jax
+        from jax.sharding import Mesh
+        from ml_music_style_transfer_tpu.infer import synthesize as S
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("time",))
+        tr = Trainer(TINY, TrainConfig(exp_name="idcheck"))
+        p1, _ = tr.init_state(0)
+        p2 = jax.tree_util.tree_map(lambda x: x + 1.0, p1)
+        s1 = AudioSynthesizer(fake_experiment, "m.mid", "a.wav",
+                              model_cfg=TINY, params=p1)
+        _, _, _, rep1, _ = s1._ts_programs(220, mesh, "time")
+        s2 = AudioSynthesizer(fake_experiment, "m.mid", "a.wav",
+                              model_cfg=TINY, params=p2)
+        s2._params_key = s1._params_key  # simulate id() reuse after GC
+        _, _, _, rep2, _ = s2._ts_programs(220, mesh, "time")
+        a = np.asarray(jax.tree_util.tree_leaves(rep2)[0])
+        b = np.asarray(jax.tree_util.tree_leaves(s2.params)[0])
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(
+            a, np.asarray(jax.tree_util.tree_leaves(rep1)[0]))
+
+    def test_serving_caches_evict_oldest(self):
+        """The module caches are capacity-capped so a long-lived daemon
+        cannot pin every checkpoint generation's device tree in HBM."""
+        from ml_music_style_transfer_tpu.infer.synthesize import _LRU
+
+        c = _LRU(2)
+        c.put("a", 1), c.put("b", 2)
+        assert c.get("a") == 1  # refresh a
+        c.put("c", 3)  # evicts b (least recent)
+        assert "b" not in c and c.get("a") == 1 and c.get("c") == 3
+
     def test_output_dir_autonumber(self, fake_experiment, user_inputs):
         midi_path, wav_path = user_inputs
         synth = AudioSynthesizer(fake_experiment, midi_path, wav_path, model_cfg=TINY)

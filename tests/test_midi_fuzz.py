@@ -116,6 +116,17 @@ class TestEventGarbage:
         mf = parser.parse_midi_bytes(self._track(body))
         assert mf.notes == []  # dangling note-on is dropped, not crashed
 
+    def test_data_byte_with_high_bit(self):
+        # pitch/velocity >= 0x80 would index past the (T, 128) piano roll
+        for body in (b"\x00\x90\x90\x40", b"\x00\x90\x3c\x90"):
+            with pytest.raises(ValueError, match="data byte"):
+                parser.parse_midi_bytes(self._track(body + b"\x00\xff\x2f\x00"))
+
+    def test_zero_ticks_per_quarter_metrical(self):
+        with pytest.raises(ValueError, match="quarter"):
+            parser.parse_midi_bytes(
+                self._track(b"\x00\x90\x3c\x40\x10\x80\x3c\x00", division=0))
+
     def test_zero_ticks_per_frame_smpte(self):
         division = ((256 - 25) << 8) | 0  # SMPTE 25 fps, 0 ticks/frame
         with pytest.raises(ValueError, match="SMPTE"):
