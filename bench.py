@@ -117,37 +117,82 @@ def main():
         # an extras failure must never cost the headline JSON line
         try:
             # batched preprocessing STFT throughput (BASELINE config 2).
-            # Timed runs end with a scalar fetch (see slope-method note above).
+            # Slope method over an in-program fori_loop: a single dispatch
+            # round-trip on the tunneled axon link costs tens of ms, so
+            # wall-timing N separate dispatches measures the tunnel, not the
+            # chip (observed 7x run-to-run swings before this change).
+            import functools as _ft
+
             chunks = rng.standard_normal((32, 219904)).astype(np.float32)
             x = jnp.asarray(chunks)
-            s = jstft.log_power_stft(x)
-            _ = float(s[0, 0, 0])
-            t0 = time.perf_counter()
-            for _i in range(5):
-                s = jstft.log_power_stft(x)
-            _ = float(s[0, 0, 0])
-            extras["preprocess_frames_per_sec"] = 32 * 860 * 5 / (time.perf_counter() - t0)
 
-            # Griffin-Lim 300 iters, 10 s clip (BASELINE config 5 / north star)
+            @_ft.partial(jax.jit, static_argnames=("reps",))
+            def _pp_loop(x, reps=1):
+                def body(i, acc):
+                    return acc + jstft.log_power_stft(x + i * 1e-9).sum()
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+            def _slope(fn, lo, hi):
+                for _ in range(2):
+                    float(fn(lo))
+                float(fn(hi))
+                t0 = time.perf_counter(); float(fn(lo)); t1 = time.perf_counter()
+                float(fn(hi)); t2 = time.perf_counter()
+                return ((t2 - t1) - (t1 - t0)) / (hi - lo)
+
+            t_pp = _slope(lambda n: _pp_loop(x, reps=n), 1, 6)
+            extras["preprocess_frames_per_sec"] = 32 * 860 / t_pp
+
+            # Griffin-Lim 300 iters, 10 s clip (BASELINE config 5 / north
+            # star): slope over the iteration count, same reasoning
             n_frames_10s = 1 + (10 * 44100) // 256
             mag = jnp.asarray(np.abs(rng.standard_normal((1025, n_frames_10s))).astype(np.float32))
-            w = jgl.griffinlim(mag, key=jax.random.PRNGKey(0), n_iter=300)
-            _ = float(w[0])
-            t0 = time.perf_counter()
-            w = jgl.griffinlim(mag, key=jax.random.PRNGKey(0), n_iter=300)
-            _ = float(w[0])
-            extras["griffinlim_sec_per_10s_clip"] = time.perf_counter() - t0
+
+            def _gl(n):
+                w = jgl.griffinlim(mag, key=jax.random.PRNGKey(0), n_iter=n)
+                return w[0]
+
+            extras["griffinlim_sec_per_10s_clip"] = 300 * _slope(_gl, 10, 110)
 
             # batched-clip GL: the bulk-synthesis serving shape (lax.map of
             # the 2D path — see ops/griffinlim.py)
             mag8 = jnp.asarray(
                 np.abs(rng.standard_normal((8, 1025, n_frames_10s))).astype(np.float32))
-            w8 = jgl.griffinlim(mag8, key=jax.random.PRNGKey(0), n_iter=300)
-            _ = float(w8[0, 0])
+
+            def _gl8(n):
+                w8 = jgl.griffinlim(mag8, key=jax.random.PRNGKey(0), n_iter=n)
+                return w8[0, 0]
+
+            extras["griffinlim_batched8_sec_per_clip"] = (
+                300 * _slope(_gl8, 10, 110) / 8)
+
+            # end-to-end device-resident serving, steady-state: MIDI parse +
+            # waveform upload + cond spec + tiled forward + blend + GL300 +
+            # waveform download for a 30 s clip at this width (the
+            # scripts/bench_inference.py path, reference model/inference.py
+            # main(); random weights — serving perf is weight-independent)
+            import tempfile
+
+            from ml_music_style_transfer_tpu.data.audio_io import write_wav
+            from ml_music_style_transfer_tpu.infer.synthesize import AudioSynthesizer
+            from ml_music_style_transfer_tpu.midi import writer as midi_writer
+            from ml_music_style_transfer_tpu.testing import synthetic
+
+            sdir = tempfile.mkdtemp(prefix="bench_serve_")
+            notes = synthetic.random_song(np.random.default_rng(0), duration=30.0)
+            midi_path = os.path.join(sdir, "song.mid")
+            wav_path = os.path.join(sdir, "timbre.wav")
+            midi_writer.save(midi_path, notes)
+            write_wav(wav_path, synthetic.render_notes(
+                notes, "harpsichord", duration=30.0), 44100)
+            synth = AudioSynthesizer(sdir, midi_path, wav_path,
+                                     model_cfg=model_cfg, params=params)
+            for _i in range(3):  # compile + donation relayout warm-ups
+                wav = synth.synthesize_waveform(n_iter=300)
             t0 = time.perf_counter()
-            w8 = jgl.griffinlim(mag8, key=jax.random.PRNGKey(0), n_iter=300)
-            _ = float(w8[0, 0])
-            extras["griffinlim_batched8_sec_per_clip"] = (time.perf_counter() - t0) / 8
+            wav = synth.synthesize_waveform(n_iter=300)
+            _ = float(np.abs(wav).max())
+            extras["serving_sec_per_30s_clip"] = time.perf_counter() - t0
         except Exception as e:  # pragma: no cover
             log(f"extras failed (continuing with headline metric): {e!r}")
         log(f"extras: {extras}")
