@@ -108,6 +108,40 @@ class TestZeroTraining:
             any("data" in str(e) for e in getattr(x.sharding, "spec", P()))
             for x in leaves), "moments lost their data sharding after a step"
 
+    def test_zero_composes_with_device_resident(self, devices, tmp_path):
+        """zero_opt + the device-resident step: train_step_resident routes
+        through train_step, so the ZeRO re-constraints apply there too —
+        the moments keep their 1/N placement across resident steps."""
+        import jax.numpy as jnp
+        from ml_music_style_transfer_tpu.data import preprocess as pp
+        from ml_music_style_transfer_tpu.data.device_store import DeviceDataStore
+        from ml_music_style_transfer_tpu.testing import synthetic
+
+        synthetic.make_dataset_dir(str(tmp_path / "raw"), song_ids=[9],
+                                   styles=["cuba"], duration=16.0, seed=8)
+        pp.get_data(str(tmp_path / "raw"), str(tmp_path / "ds"), "train",
+                    song_ids=[9], styles=["cuba"], store_audio=True)
+        h5 = str(tmp_path / "ds")
+        m = pmesh.make_mesh(8, 1)
+        tr = Trainer(TINY, TrainConfig(batch_size=8, zero_opt=True), mesh=m)
+        store = DeviceDataStore(h5 + "_train.hdf5", seed=0,
+                                audio_dtype=jnp.float32, mesh=m)
+        params, opt_state = tr.init_state(0)
+        rng = np.random.default_rng(0)
+        for step in range(2):
+            idx = store._put_idx(rng.integers(0, store.n_data, 8))
+            cidx = store._put_idx(rng.integers(0, store.n_data, 8))
+            style = store._put_idx(rng.integers(0, len(store.styles), 8))
+            params, opt_state, loss = tr.train_step_resident(
+                params, opt_state, store.audio, store.pianoroll, store.onoff,
+                idx, cidx, style, jax.random.PRNGKey(step))
+        assert np.isfinite(float(loss))
+        leaves = [x for x in jax.tree_util.tree_leaves(opt_state)
+                  if hasattr(x, "sharding") and x.ndim >= 2]
+        assert any(
+            any("data" in str(e) for e in getattr(x.sharding, "spec", P()))
+            for x in leaves), "moments lost ZeRO placement in resident step"
+
     def test_zero_noop_on_single_device(self, devices):
         m1 = pmesh.make_mesh(1, 1, devices=devices[:1])
         tr = Trainer(TINY, TrainConfig(batch_size=4, zero_opt=True), mesh=m1)
