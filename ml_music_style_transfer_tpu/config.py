@@ -169,6 +169,12 @@ class TrainConfig:
     ema_decay: float | None = None
     # Mesh: (data, model) axis sizes; (1, 1) is the single-chip degenerate case.
     mesh_shape: Tuple[int, int] = (1, 1)
+    # Gradient accumulation: each train_step call is a microbatch; updates
+    # apply (and the LR schedule advances) every k-th call with the MEAN of
+    # the k gradients — the standard large-effective-batch recipe when HBM
+    # bounds the per-step batch. 1 = off (reference parity; the optax
+    # transform is not even wrapped).
+    grad_accum: int = 1
     # ZeRO-1: shard optimizer state (Adam moments, EMA) over the data axes.
     # Params stay replicated for compute; each step re-constrains them after
     # the (data-sharded) update, so GSPMD inserts one param all-gather per

@@ -72,6 +72,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "or 'data' (rows sharded 1/N per device, GSPMD "
                         "gather collectives; use when the dataset is the "
                         "HBM constraint)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="accumulate gradients over k microbatches and apply "
+                        "the mean every k-th step (effective batch = k x "
+                        "batch-size at 1/k the activation memory)")
     p.add_argument("--zero-opt", action="store_true",
                    help="ZeRO-1: shard optimizer state (Adam moments, EMA) "
                         "1/N over the data axes; params stay replicated for "
@@ -106,6 +110,7 @@ def main(argv=None) -> None:
         warmup_steps=args.warmup_steps,
         ema_decay=args.ema_decay,
         zero_opt=args.zero_opt,
+        grad_accum=args.grad_accum,
     )
     mesh = pmesh.make_mesh(args.mesh_data, args.mesh_model) \
         if args.mesh_data * args.mesh_model > 1 else None

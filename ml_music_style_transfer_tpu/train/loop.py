@@ -120,6 +120,12 @@ class Trainer:
 
             post.append(param_ema(train_cfg.ema_decay))  # last: sees final updates
         self.tx = optax.chain(*pre, base, *post) if (pre or post) else base
+        if getattr(train_cfg, "grad_accum", 1) > 1:
+            # each train_step is a microbatch; the wrapped transform applies
+            # the MEAN gradient every k-th call (optax.MultiSteps). The
+            # accumulator is a params-sized f32 tree — ZeRO shards it over
+            # the data axes like the moments (zero_shardings is shape-based).
+            self.tx = optax.MultiSteps(self.tx, train_cfg.grad_accum)
         self.scheduler = ReduceLROnPlateau(lr=train_cfg.learning_rate)
         self.exp_root = exp_root
         self.exp_dir = os.path.join(exp_root, train_cfg.exp_name)
@@ -231,11 +237,26 @@ class Trainer:
         """Inject a new learning rate without retracing.
 
         With grad-clip/warmup options the transform is an optax.chain and
-        opt_state is a tuple — the InjectHyperparamsState is found inside.
+        opt_state is a tuple; with grad_accum it is additionally wrapped in
+        a MultiStepsState — the InjectHyperparamsState is found by a
+        recursive scan over tuple/namedtuple state containers.
         """
-        target = opt_state
-        if not hasattr(target, "hyperparams"):
-            target = next(s for s in opt_state if hasattr(s, "hyperparams"))
+
+        def find(state):
+            if hasattr(state, "hyperparams"):
+                return state
+            children = (tuple(getattr(state, f) for f in state._fields)
+                        if hasattr(state, "_fields") else
+                        state if isinstance(state, (tuple, list)) else ())
+            for c in children:
+                hit = find(c)
+                if hit is not None:
+                    return hit
+            return None
+
+        target = find(opt_state)
+        if target is None:
+            raise ValueError("no InjectHyperparamsState in opt_state")
         target.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
         return opt_state
 

@@ -71,6 +71,40 @@ class TestTrainStep:
         l4 = float(tr.eval_step(params, b4))
         assert abs(l2 - l4) < 1e-5
 
+    def test_grad_accum_two_identical_microbatches_equal_one_step(self):
+        """grad_accum=2 applies the MEAN of the microbatch gradients; with
+        the SAME batch and rng twice, the mean equals the single gradient,
+        so the resulting params must match a plain (grad_accum=1) step
+        exactly — and the first (accumulating) call must not move params."""
+        batch = tiny_batch()
+        rng = jax.random.PRNGKey(7)
+        tr1 = Trainer(TINY, TrainConfig(batch_size=2))
+        p_ref, o_ref = tr1.init_state(0)
+        p_ref, _, _ = tr1.train_step(p_ref, o_ref, batch, rng)
+
+        tr2 = Trainer(TINY, TrainConfig(batch_size=2, grad_accum=2))
+        p, o = tr2.init_state(0)
+        p0 = jax.tree_util.tree_map(lambda x: np.asarray(x), p)
+        p, o, _ = tr2.train_step(p, o, batch, rng)
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p)):
+            np.testing.assert_array_equal(a, np.asarray(b))  # no update yet
+        p, o, _ = tr2.train_step(p, o, batch, rng)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-6)
+
+    def test_grad_accum_set_lr_reaches_inner_transform(self):
+        tr = Trainer(TINY, TrainConfig(batch_size=2, grad_accum=2,
+                                       warmup_steps=2))
+        params, opt_state = tr.init_state(0)
+        opt_state = tr.set_lr(opt_state, 5e-4)
+        batch = tiny_batch()
+        _, opt_state, loss = tr.train_step(params, opt_state, batch,
+                                           jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+
     def test_adam_compact_exact_parity_with_optax(self):
         """train/optim.py scale_by_adam_compact with both dtypes None must
         reproduce optax.scale_by_adam bit-for-bit formula-wise."""
