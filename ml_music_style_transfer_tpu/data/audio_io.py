@@ -13,8 +13,31 @@ from scipy.signal import resample_poly
 
 
 def read_wav(path: str, sr: int | None = 44100) -> tuple[np.ndarray, int]:
-    """Load a WAV as mono float32 in [-1, 1], resampled to ``sr`` if given."""
-    rate, data = wavfile.read(path)
+    """Load a WAV as mono float32 in [-1, 1], resampled to ``sr`` if given.
+
+    Serving feeds user-supplied files here (reference inference.py:91 via
+    librosa), so malformed/truncated/degenerate input raises ValueError —
+    never a raw struct/EOF/ZeroDivision error from the RIFF parser or the
+    resampler (tests/test_wav_fuzz.py pins the contract). FileNotFoundError
+    stays FileNotFoundError.
+    """
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            # scipy warns per odd/unknown RIFF chunk on files it still
+            # reads; we validate the decoded audio instead (librosa is
+            # silent here too)
+            warnings.simplefilter("ignore")
+            rate, data = wavfile.read(path)
+    except (FileNotFoundError, IsADirectoryError):
+        raise
+    except Exception as e:  # scipy leaks ValueError/struct.error/EOFError…
+        raise ValueError(f"not a readable WAV file: {path}: {e}") from e
+    if int(rate) <= 0:
+        raise ValueError(f"WAV declares non-positive sample rate {rate}: {path}")
+    if data.size == 0:
+        raise ValueError(f"WAV contains no samples: {path}")
     if data.dtype == np.int16:
         y = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
