@@ -133,12 +133,22 @@ def main():
                 return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
             def _slope(fn, lo, hi):
+                """min of two slope samples; raises if both are nonpositive
+                (a tunnel stall absorbed by one timed call can invert a
+                single sample — never emit a negative extra into the JSON)."""
                 for _ in range(2):
                     float(fn(lo))
                 float(fn(hi))
-                t0 = time.perf_counter(); float(fn(lo)); t1 = time.perf_counter()
-                float(fn(hi)); t2 = time.perf_counter()
-                return ((t2 - t1) - (t1 - t0)) / (hi - lo)
+                samples = []
+                for _ in range(2):
+                    t0 = time.perf_counter(); float(fn(lo)); t1 = time.perf_counter()
+                    float(fn(hi)); t2 = time.perf_counter()
+                    s = ((t2 - t1) - (t1 - t0)) / (hi - lo)
+                    if s > 0:
+                        samples.append(s)
+                if not samples:
+                    raise RuntimeError("slope nonpositive twice (tunnel stall?)")
+                return min(samples)
 
             t_pp = _slope(lambda n: _pp_loop(x, reps=n), 1, 6)
             extras["preprocess_frames_per_sec"] = 32 * 860 / t_pp
@@ -178,21 +188,27 @@ def main():
             from ml_music_style_transfer_tpu.midi import writer as midi_writer
             from ml_music_style_transfer_tpu.testing import synthetic
 
+            import shutil
+
             sdir = tempfile.mkdtemp(prefix="bench_serve_")
-            notes = synthetic.random_song(np.random.default_rng(0), duration=30.0)
-            midi_path = os.path.join(sdir, "song.mid")
-            wav_path = os.path.join(sdir, "timbre.wav")
-            midi_writer.save(midi_path, notes)
-            write_wav(wav_path, synthetic.render_notes(
-                notes, "harpsichord", duration=30.0), 44100)
-            synth = AudioSynthesizer(sdir, midi_path, wav_path,
-                                     model_cfg=model_cfg, params=params)
-            for _i in range(3):  # compile + donation relayout warm-ups
+            try:
+                notes = synthetic.random_song(np.random.default_rng(0),
+                                              duration=30.0)
+                midi_path = os.path.join(sdir, "song.mid")
+                wav_path = os.path.join(sdir, "timbre.wav")
+                midi_writer.save(midi_path, notes)
+                write_wav(wav_path, synthetic.render_notes(
+                    notes, "harpsichord", duration=30.0), 44100)
+                synth = AudioSynthesizer(sdir, midi_path, wav_path,
+                                         model_cfg=model_cfg, params=params)
+                for _i in range(3):  # compile + donation relayout warm-ups
+                    wav = synth.synthesize_waveform(n_iter=300)
+                t0 = time.perf_counter()
                 wav = synth.synthesize_waveform(n_iter=300)
-            t0 = time.perf_counter()
-            wav = synth.synthesize_waveform(n_iter=300)
-            _ = float(np.abs(wav).max())
-            extras["serving_sec_per_30s_clip"] = time.perf_counter() - t0
+                _ = float(np.abs(wav).max())
+                extras["serving_sec_per_30s_clip"] = time.perf_counter() - t0
+            finally:
+                shutil.rmtree(sdir, ignore_errors=True)
         except Exception as e:  # pragma: no cover
             log(f"extras failed (continuing with headline metric): {e!r}")
         log(f"extras: {extras}")

@@ -73,10 +73,19 @@ def export_griffinlim(n_iter: int = 300, bins: int = 1025, frames: int = 860,
     else:
         transform = None  # current-backend auto-resolution
 
+    # pin the Pallas glue OFF for cross-platform exports: it is a TPU-only
+    # Mosaic kernel and its auto-rule reads the CURRENT backend, which would
+    # bake it into e.g. a cpu-platform artifact exported from a TPU session.
+    # (On the dft path it is off anyway; the matmul dtype inside _gl_steps_dft
+    # also reads the current backend — exporting a TPU artifact from a CPU
+    # host produces f32 matmuls: correct, modestly slower than bf16.)
+    glue = False if platforms else None
+
     def synth(spec, key):
         mag = jnp.sqrt(jnp.expm1(jnp.clip(spec, 0.0, clip_max)))
         return jgl.griffinlim(mag, key=key, n_iter=n_iter,
-                              hop_length=hop_length, transform=transform)
+                              hop_length=hop_length, transform=transform,
+                              use_pallas_glue=glue)
 
     spec = jax.ShapeDtypeStruct((bins, frames), jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)

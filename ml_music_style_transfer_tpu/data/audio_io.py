@@ -38,6 +38,10 @@ def read_wav(path: str, sr: int | None = 44100) -> tuple[np.ndarray, int]:
         raise ValueError(f"WAV declares non-positive sample rate {rate}: {path}")
     if data.size == 0:
         raise ValueError(f"WAV contains no samples: {path}")
+    if not np.isfinite(np.asarray(data, np.float64)).all():
+        # float-format WAVs can smuggle NaN/Inf past the RIFF parser; they
+        # would propagate through the resampler into an all-NaN spectrogram
+        raise ValueError(f"WAV contains non-finite samples: {path}")
     if data.dtype == np.int16:
         y = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
@@ -50,7 +54,16 @@ def read_wav(path: str, sr: int | None = 44100) -> tuple[np.ndarray, int]:
         y = y.mean(axis=1)
     if sr is not None and rate != sr:
         g = np.gcd(int(sr), int(rate))
-        y = resample_poly(y.astype(np.float64), sr // g, rate // g).astype(np.float32)
+        up, down = int(sr) // g, int(rate) // g
+        if max(up, down) > 65536:
+            # resample_poly designs a ~10*max(up,down)-tap FIR: an absurd
+            # declared rate (or a coprime pair) would ask for a multi-GB
+            # filter and OOM instead of erroring. Real audio rates (8k-384k
+            # vs 44100) reduce far below this bound.
+            raise ValueError(
+                f"cannot resample {rate} Hz -> {sr} Hz (ratio {up}/{down} "
+                f"too extreme — corrupt sample rate?): {path}")
+        y = resample_poly(y.astype(np.float64), up, down).astype(np.float32)
         rate = sr
     return np.ascontiguousarray(y, dtype=np.float32), rate
 

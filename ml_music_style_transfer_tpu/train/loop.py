@@ -238,23 +238,12 @@ class Trainer:
 
         With grad-clip/warmup options the transform is an optax.chain and
         opt_state is a tuple; with grad_accum it is additionally wrapped in
-        a MultiStepsState — the InjectHyperparamsState is found by a
-        recursive scan over tuple/namedtuple state containers.
+        a MultiStepsState — the InjectHyperparamsState is found by the
+        shared recursive scanner (train/optim.py:find_state).
         """
+        from .optim import find_state
 
-        def find(state):
-            if hasattr(state, "hyperparams"):
-                return state
-            children = (tuple(getattr(state, f) for f in state._fields)
-                        if hasattr(state, "_fields") else
-                        state if isinstance(state, (tuple, list)) else ())
-            for c in children:
-                hit = find(c)
-                if hit is not None:
-                    return hit
-            return None
-
-        target = find(opt_state)
+        target = find_state(opt_state, lambda s: hasattr(s, "hyperparams"))
         if target is None:
             raise ValueError("no InjectHyperparamsState in opt_state")
         target.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)

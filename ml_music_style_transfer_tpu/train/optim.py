@@ -93,22 +93,35 @@ def param_ema(decay: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+def find_state(state, predicate):
+    """Depth-first scan of a (possibly wrapped/chained) optax state tree for
+    the first sub-state matching ``predicate``; None if absent.
+
+    Handles plain tuples/lists and NamedTuple states (chain, MultiSteps,
+    InjectHyperparams all nest this way) — the single scanner shared by
+    get_param_ema and Trainer.set_lr so wrapper changes are fixed once.
+    """
+    if predicate(state):
+        return state
+    if hasattr(state, "_fields"):
+        children = tuple(getattr(state, f) for f in state._fields)
+    elif isinstance(state, (tuple, list)):
+        children = state
+    else:
+        children = ()
+    for c in children:
+        r = find_state(c, predicate)
+        if r is not None:
+            return r
+    return None
+
+
 def get_param_ema(opt_state):
     """Extract the EMA param tree from a (possibly chained) opt_state."""
-    def find(s):
-        if isinstance(s, ParamEmaState):
-            return s.ema
-        if isinstance(s, tuple):
-            for sub in s:
-                r = find(sub)
-                if r is not None:
-                    return r
-        return None
-
-    r = find(opt_state)
-    if r is None:
+    s = find_state(opt_state, lambda s: isinstance(s, ParamEmaState))
+    if s is None:
         raise ValueError("no ParamEmaState in opt_state — was ema_decay set?")
-    return r
+    return s.ema
 
 
 def adam_compact(

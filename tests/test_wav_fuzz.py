@@ -83,6 +83,34 @@ def test_empty_data_chunk(tmp_path):
         audio_io.read_wav(p)
 
 
+def test_absurd_sample_rate_rejected_before_resampler(tmp_path):
+    """A corrupt rate field must raise ValueError, not ask resample_poly to
+    design a multi-GB FIR (10*max(up,down) taps)."""
+    with open(_valid_file(tmp_path), "rb") as f:
+        raw = bytearray(f.read())
+    i = raw.index(b"fmt ") + 8 + 4
+    for rate in (0xFFFFFFF0, 9_999_991):  # huge; huge prime (gcd 1)
+        raw[i : i + 4] = struct.pack("<I", rate)
+        p = str(tmp_path / "ar.wav")
+        with open(p, "wb") as f:
+            f.write(bytes(raw))
+        with pytest.raises(ValueError):
+            audio_io.read_wav(p)
+
+
+def test_nonfinite_float_wav_rejected(tmp_path):
+    """Float-format WAVs can smuggle NaN/Inf past the RIFF parser; they must
+    not reach the STFT as silent garbage."""
+    from scipy.io import wavfile
+
+    p = str(tmp_path / "nan.wav")
+    y = np.zeros(2048, np.float32)
+    y[100] = np.nan
+    wavfile.write(p, 44100, y)
+    with pytest.raises(ValueError, match="non-finite"):
+        audio_io.read_wav(p)
+
+
 def test_missing_file_stays_file_not_found(tmp_path):
     with pytest.raises(FileNotFoundError):
         audio_io.read_wav(str(tmp_path / "nope.wav"))
