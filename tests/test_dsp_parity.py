@@ -245,6 +245,20 @@ class TestMatmulDFTGriffinLim:
                                                transform="dft"))
             np.testing.assert_allclose(batched[b], single, atol=1e-5, rtol=1e-5)
 
+    def test_transform_and_glue_auto_rules(self, monkeypatch):
+        """Pin the TPU defaults: dft for supported 2D shapes, fft otherwise;
+        Pallas glue defaults OFF under dft (measured net loss — BASELINE.md)
+        and stays available on the fft path."""
+        from ml_music_style_transfer_tpu.ops import pallas as pk
+
+        # on the CPU test mesh: always fft
+        assert jgl.resolve_transform(2, 2048, 2048, None) == "fft"
+        monkeypatch.setattr(pk, "on_tpu", lambda: True)
+        assert jgl.resolve_transform(2, 2048, 2048, None) == "dft"
+        assert jgl.resolve_transform(3, 2048, 2048, None) == "fft"  # batched
+        assert jgl.resolve_transform(2, 2048, 1024, None) == "fft"  # win!=n_fft
+        assert jgl.resolve_transform(2, 2048, 2048, 1000) == "fft"  # length
+
     def test_dft_rejects_unsupported_shapes(self):
         mag = jnp.ones((1025, 16), jnp.float32)
         carry = (jnp.ones(mag.shape, jnp.complex64),
