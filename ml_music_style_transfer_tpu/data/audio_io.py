@@ -38,9 +38,11 @@ def read_wav(path: str, sr: int | None = 44100) -> tuple[np.ndarray, int]:
         raise ValueError(f"WAV declares non-positive sample rate {rate}: {path}")
     if data.size == 0:
         raise ValueError(f"WAV contains no samples: {path}")
-    if not np.isfinite(np.asarray(data, np.float64)).all():
+    if data.dtype.kind == "f" and not np.isfinite(data).all():
         # float-format WAVs can smuggle NaN/Inf past the RIFF parser; they
-        # would propagate through the resampler into an all-NaN spectrogram
+        # would propagate through the resampler into an all-NaN spectrogram.
+        # Integer PCM cannot encode non-finite values, so the check (and the
+        # copy a dtype conversion would force) is skipped for it.
         raise ValueError(f"WAV contains non-finite samples: {path}")
     if data.dtype == np.int16:
         y = data.astype(np.float32) / 32768.0

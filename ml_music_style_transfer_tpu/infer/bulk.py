@@ -139,14 +139,17 @@ def batch_synthesize_waveforms(synths, n_iter: int = 300, overlap: bool = True,
 
     wavs: list = [None] * n
     # group key includes the DSP config: requests with equal frame counts
-    # but different hop/clip-max must not share one GL program's constants
+    # but different n_fft/hop/clip-max must not share one GL program's
+    # constants — and mismatched bin counts would make jnp.stack raise
+    # OUTSIDE the per-item error isolation, failing the whole batch
     groups: dict[tuple, list[int]] = {}
     for i in range(n):
         if errors[i] is None:
             hp_i = synths[i].hp
             groups.setdefault(
-                (t_gls[i], hp_i.ws, hp_i.clip_log_power_max), []).append(i)
-    for (t_gl, _ws, _cm), idxs in groups.items():
+                (t_gls[i], hp_i.n_fft, hp_i.ws, hp_i.clip_log_power_max),
+                []).append(i)
+    for (t_gl, _nfft, _ws, _cm), idxs in groups.items():
         hp = synths[idxs[0]].hp
         batch = jnp.stack([jnp.swapaxes(specs[i][:t_gl], -1, -2) for i in idxs])
         seed_vec = np.asarray(

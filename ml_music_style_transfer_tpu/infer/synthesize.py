@@ -28,6 +28,7 @@ Rebuild of reference model/inference.py:22-110 (AudioSynthesizer):
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import jax
@@ -73,10 +74,11 @@ def _fetch(x) -> np.ndarray:
 
 
 class _LRU:
-    def __init__(self, cap: int):
+    def __init__(self, cap: int, name: str = ""):
         import collections
 
         self.cap = cap
+        self.name = name
         self._d = collections.OrderedDict()
 
     def get(self, key, default=None):
@@ -89,14 +91,27 @@ class _LRU:
         self._d[key] = value
         self._d.move_to_end(key)
         while len(self._d) > self.cap:
-            self._d.popitem(last=False)
+            evicted, _ = self._d.popitem(last=False)
+            if self.name:
+                # Evictions are expensive to refill (a whole-clip program
+                # evicted under the axon backend recompiles remotely, ~60 s,
+                # bypassing the persistent compile cache) — make the thrash
+                # visible in daemon logs instead of silent.
+                logging.getLogger("mmst.serving").warning(
+                    "%s cache evicted %r (cap=%d); raise %s to avoid "
+                    "recompile/re-upload thrash", self.name, evicted,
+                    self.cap, "MMST_TS_FN_CACHE_CAP"
+                    if self.name == "ts_fn" else "the cap")
 
     def __contains__(self, key) -> bool:
         return key in self._d
 
 
-_PARAMS_CACHE = _LRU(2)     # (checkpoint_path, use_ema, mtime) -> device params
-_TS_FN_CACHE = _LRU(8)      # time-sharded forward programs (per clip length)
+_PARAMS_CACHE = _LRU(2, "params")  # (ckpt_path, use_ema, mtime) -> dev params
+# time-sharded forward programs, one per (model_cfg, clip length, mesh).
+# A daemon serving more than cap distinct clip lengths thrashes ~60 s
+# remote recompiles per request under axon, so the cap is configurable.
+_TS_FN_CACHE = _LRU(int(os.environ.get("MMST_TS_FN_CACHE_CAP", "8")), "ts_fn")
 # whole-clip mesh-replicated params: key -> (source_params, replicated).
 # The source tree rides in the VALUE so a hit can be identity-checked —
 # an "inmem" key carries id(params), and CPython reuses addresses after GC,
