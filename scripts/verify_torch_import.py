@@ -21,6 +21,45 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_train_parity(steps: int, out_path: str) -> int:
+    """Training-dynamics parity record (VERDICT r3 #1): identical init +
+    byte-identical batches through the reference's own train() and our
+    Trainer.train_step (harness: compat/train_parity.py) -> TRAIN_PARITY.json.
+
+    Pass criteria mirror tests/test_train_parity.py: deviation from the
+    torch f32 run must sit within 2x the reference's own f32-vs-f64
+    self-divergence (the null), with a 5e-2 hard cap.
+    """
+    import json
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from ml_music_style_transfer_tpu.compat import train_parity as tp
+
+    t0 = time.time()
+    r = tp.run(steps=steps, t_in=32, batch=2, seed=0)
+    r.pop("final_params"), r.pop("init_state_dict")
+    traj_ok = (r["trajectory_rel_dev"] <= max(2.0 * r["trajectory_null_f64_vs_f32"], 1e-3)
+               and r["trajectory_rel_dev"] < 5e-2)
+    param_ok = r["final_param_max_dev"] <= max(
+        2.0 * r["final_param_null_f64_vs_f32"], 1e-3 * r["param_scale"])
+    r["passed"] = bool(traj_ok and param_ok and r["step0_rel_dev"] < 1e-4)
+    r["wall_seconds"] = round(time.time() - t0, 1)
+    with open(out_path, "w") as f:
+        json.dump(r, f, indent=1)
+    print(f"step0 rel dev:      {r['step0_rel_dev']:.3e}")
+    print(f"trajectory rel dev: {r['trajectory_rel_dev']:.3e} "
+          f"(torch f64-vs-f32 null {r['trajectory_null_f64_vs_f32']:.3e})")
+    print(f"final-param max dev: {r['final_param_max_dev']:.3e} "
+          f"(null {r['final_param_null_f64_vs_f32']:.3e}, scale {r['param_scale']:.3e})")
+    print(f"record -> {out_path}")
+    print("TRAIN PARITY OK" if r["passed"] else "TRAIN PARITY FAILED")
+    return 0 if r["passed"] else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--t-frames", type=int, default=220)
@@ -29,7 +68,17 @@ def main():
                          "imported params back out as a reference .tar and "
                          "strict-load it into a fresh reference model "
                          "(round-trips compat/torch_export.py end to end)")
+    ap.add_argument("--train-parity", action="store_true",
+                    help="training-dynamics parity vs the reference's own "
+                         "train loop at reduced width; writes TRAIN_PARITY.json")
+    ap.add_argument("--parity-steps", type=int, default=20)
+    ap.add_argument("--parity-out", type=str,
+                    default=os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))), "TRAIN_PARITY.json"))
     args = ap.parse_args()
+
+    if args.train_parity:
+        return run_train_parity(args.parity_steps, args.parity_out)
 
     import torch
 
