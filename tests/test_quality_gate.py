@@ -82,6 +82,103 @@ def trained(tmp_path_factory):
     return tr, params, init_params, ds, held, losses
 
 
+class TestFixtureInvariantCriterion:
+    """testing/quality.py — the round-4 replacement for the absolute
+    own/best-other ratio bar (recalibrated three times in two rounds because
+    it drifted with fixture proximity; history in BASELINE.md)."""
+
+    # the committed 5-style seed-0 TPU run (QUALITY_GATE_TPU_5STYLE.json)
+    M5 = [[0.0341, 0.0899, 0.0487, 0.0942, 0.0880],
+          [0.0861, 0.0407, 0.0700, 0.0741, 0.0985],
+          [0.0516, 0.0750, 0.0281, 0.0750, 0.0703],
+          [0.0969, 0.0803, 0.0768, 0.0461, 0.0962],
+          [0.0858, 0.0996, 0.0666, 0.0922, 0.0468]]
+    SEP5 = [[0.0, 0.0765, 0.0335, 0.0832, 0.0767],
+            [0.0765, 0.0, 0.0592, 0.0588, 0.0889],
+            [0.0335, 0.0592, 0.0, 0.0620, 0.0564],
+            [0.0832, 0.0588, 0.0620, 0.0, 0.0816],
+            [0.0767, 0.0889, 0.0564, 0.0816, 0.0]]
+
+    def test_recorded_runs_pass_at_default_alpha(self):
+        from ml_music_style_transfer_tpu.testing import quality
+
+        r = quality.discrimination_report(self.M5, self.SEP5)
+        assert r["passed"] and all(r["per_style_discrimination"])
+        # calibration anchor: this run's minimum normalized margin
+        assert abs(r["min_normalized_margin"] - 0.351) < 0.005
+        # 2-style committed run (QUALITY_GATE_TPU.json)
+        m2 = [[0.0226, 0.0711], [0.0751, 0.0399]]
+        sep2 = [[0.0, 0.062], [0.062, 0.0]]
+        r2 = quality.discrimination_report(m2, sep2)
+        assert r2["passed"]
+        assert abs(r2["min_normalized_margin"] - 0.568) < 0.005
+
+    def test_fixture_invariance_where_the_ratio_bar_drifted(self):
+        """The failure mode that forced three recalibrations: the same model
+        behavior on closer fixtures raises the raw own/best-other ratio above
+        any fixed bar, while the normalized margin stays put. Model behavior
+        here = 'own error 0.02, converts 60% of each pair's separation into
+        margin'; only the fixture separation differs."""
+        from ml_music_style_transfer_tpu.testing import quality
+
+        def run_with_separation(sep):
+            own = 0.02
+            m = [[own, own + 0.6 * sep], [own + 0.6 * sep, own]]
+            s = [[0.0, sep], [sep, 0.0]]
+            return quality.discrimination_report(m, s), (m[0][0] / m[0][1])
+
+        far, ratio_far = run_with_separation(0.10)
+        near, ratio_near = run_with_separation(0.03)
+        # the old criterion flips: ratio 0.25 (far) vs 0.53 (near) — a 0.5
+        # bar would pass one and fail the other for identical model quality
+        assert ratio_far < 0.5 < ratio_near
+        # the normalized criterion is identical on both
+        assert far["min_normalized_margin"] == near["min_normalized_margin"]
+        assert far["passed"] and near["passed"]
+
+    def test_non_discriminating_model_fails(self):
+        from ml_music_style_transfer_tpu.testing import quality
+
+        # well-separated fixtures, but the model's predictions don't prefer
+        # their own target (margin ~0 regardless of separation)
+        m = [[0.05, 0.052], [0.051, 0.05]]
+        sep = [[0.0, 0.09], [0.09, 0.0]]
+        r = quality.discrimination_report(m, sep)
+        assert not r["passed"]
+        assert r["min_normalized_margin"] < 0.05
+
+    def test_wrong_argmin_always_fails(self):
+        from ml_music_style_transfer_tpu.testing import quality
+
+        # prediction conditioned on style 0 is CLOSER to target 1: negative
+        # margin must fail at any alpha > 0
+        m = [[0.06, 0.04], [0.07, 0.03]]
+        sep = [[0.0, 0.05], [0.05, 0.0]]
+        r = quality.discrimination_report(m, sep, alpha=0.01)
+        assert not r["passed"]
+        assert not r["per_style_discrimination"][0]
+        assert r["per_style_discrimination"][1]
+
+    def test_zero_separation_fails_loudly(self):
+        from ml_music_style_transfer_tpu.testing import quality
+
+        # indistinguishable fixtures are a broken gate, not a pass
+        m = [[0.02, 0.03], [0.03, 0.02]]
+        sep = [[0.0, 0.0], [0.0, 0.0]]
+        r = quality.discrimination_report(m, sep)
+        assert not r["passed"]
+        assert r["normalized_margins"][0][1] is None  # -inf -> null in JSON
+
+    def test_shape_validation(self):
+        from ml_music_style_transfer_tpu.testing import quality
+
+        with pytest.raises(ValueError):
+            quality.normalized_margins([[0.0, 1.0]], [[0.0, 1.0]])
+        with pytest.raises(ValueError):
+            quality.normalized_margins([[0.0, 1.0], [1.0, 0.0]],
+                                       [[0.0], [1.0]])
+
+
 class TestStyleSeparability:
     def test_all_style_pairs_separable_in_spectrogram(self):
         """Every pair of synthetic styles must be separated in log-power
