@@ -239,3 +239,85 @@ class TestTimeShardedFullForward:
         assert ts.time_sharded_output_length(860) == 860
         assert ts.padded_length(860, 8) % (8 * 16) == 0
         assert ts.padded_length(860, 8) >= 876
+
+
+class TestTimeShardedTraining:
+    """Gradients through the time-sharded forward (VERDICT r3 #5): the
+    fine-tune step's loss and PARAMETER GRADIENTS on the 8-device time mesh
+    must equal a single-device L1 step on the unpadded clip — shard_map
+    autodiff through ppermute halos + psum InstanceNorm statistics."""
+
+    def _setup(self, mesh, t_valid=480, seed=21):
+        model = PerformanceNet(TS_CFG)
+        rng = np.random.default_rng(seed)
+        xm = rng.standard_normal((1, t_valid, 32)).astype(np.float32)
+        xa = rng.standard_normal((1, t_valid, 65)).astype(np.float32)
+        xc = (rng.random((1, t_valid, 32)) < 0.05).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(3), jnp.asarray(xm),
+                               jnp.asarray(xa), jnp.asarray(xc))
+        tst = ts.make_time_sharded_train_step(TS_CFG, mesh, t_valid,
+                                              axis_name="data")
+        target = rng.standard_normal((1, tst.t_out, TS_CFG.n_out_bins)).astype(
+            np.float32)
+
+        def pad_shard(arr, t_to):
+            p = np.zeros((1, tst.t_pad, arr.shape[-1]), np.float32)
+            p[:, :t_to] = arr
+            return ts.shard_time(jnp.asarray(p), mesh, "data")
+
+        sharded = (pad_shard(xm, t_valid), pad_shard(xa, t_valid),
+                   pad_shard(xc, t_valid), pad_shard(target, tst.t_out))
+        return model, variables, tst, (xm, xa, xc, target), sharded
+
+    def test_grads_match_single_device(self, mesh):
+        model, variables, tst, full, sharded = self._setup(mesh)
+        xm, xa, xc, target = full
+
+        def single_loss(v):
+            pred = model.apply(v, jnp.asarray(xm), jnp.asarray(xa),
+                               jnp.asarray(xc))
+            return jnp.mean(jnp.abs(pred - jnp.asarray(target)))
+
+        want_loss, want_grads = jax.value_and_grad(single_loss)(variables)
+        got_loss, got_grads = tst.value_and_grad(variables, *sharded)
+        np.testing.assert_allclose(float(got_loss), float(want_loss),
+                                   rtol=1e-5)
+        flat_w, _ = jax.tree_util.tree_flatten_with_path(want_grads)
+        flat_g = jax.tree_util.tree_leaves(got_grads)
+        assert len(flat_w) == len(flat_g)
+        # conv biases that feed straight into InstanceNorm have EXACTLY zero
+        # gradient in real arithmetic (the norm subtracts any constant
+        # offset); both paths produce ~1e-9 float noise there, so leaves
+        # whose reference gradient is negligible against the global gradient
+        # scale are asserted near-zero rather than elementwise-close.
+        gscale = max(np.abs(np.asarray(w)).max() for _, w in flat_w)
+        for (path, w), g in zip(flat_w, flat_g):
+            w, g = np.asarray(w), np.asarray(g)
+            scale = np.abs(w).max()
+            if scale < 1e-6 * gscale:
+                assert np.abs(g).max() < 1e-6 * gscale, \
+                    jax.tree_util.keystr(path)
+                continue
+            # f32 reduction-order drift (psum stats vs single-device sums)
+            # compounds through 9 InstanceNorm layers; the forward itself is
+            # parity-tested at atol 2e-3, and measured elementwise grad
+            # drift peaks ~2.3e-4 of the leaf scale. Gate on per-leaf
+            # relative L2 (robust to single-element noise tails) plus an
+            # elementwise bar one order above the measured noise.
+            rel_l2 = (np.linalg.norm(g - w) /
+                      max(float(np.linalg.norm(w)), 1e-30))
+            assert rel_l2 < 1e-3, (jax.tree_util.keystr(path), rel_l2)
+            np.testing.assert_allclose(
+                g, w, atol=1e-3 * scale, rtol=5e-3,
+                err_msg=jax.tree_util.keystr(path))
+
+    def test_fine_tune_steps_reduce_loss(self, mesh):
+        _, variables, tst, _, sharded = self._setup(mesh)
+        opt_state = tst.tx.init(variables)
+        losses = []
+        for _ in range(8):
+            variables, opt_state, loss = tst.step(variables, opt_state,
+                                                  *sharded)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
