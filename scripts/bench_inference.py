@@ -32,6 +32,10 @@ def main():
                     help="write a jax.profiler trace of one steady-state "
                          "synthesis here (view with tensorboard/xprof) — "
                          "localizes the remaining serve time per-op")
+    ap.add_argument("--daemon-requests", type=int, default=6,
+                    help="measure serve_loop throughput over K requests, "
+                         "pipelined (--pipeline-depth 2) vs serial (0); "
+                         "0 skips the daemon section")
     args = ap.parse_args()
 
     import jax
@@ -99,6 +103,44 @@ def main():
             print(f"[profile] trace written to {args.profile_dir}", flush=True)
         except Exception as e:  # the axon PJRT plugin may lack profiling
             print(f"[profile] unavailable on this backend: {e!r}", flush=True)
+
+    if args.daemon_requests > 0:
+        # pipelined daemon throughput (round-3 verdict #7): host prep of
+        # request N+1 (MIDI parse, WAV decode, upload, dispatch) hides
+        # under device GL of request N
+        import importlib.util
+        import io
+        import json as js
+
+        spec_mod = importlib.util.spec_from_file_location(
+            "serve", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "serve.py"))
+        serve = importlib.util.module_from_spec(spec_mod)
+        spec_mod.loader.exec_module(serve)
+        K = args.daemon_requests
+        payload = "\n".join(js.dumps(
+            {"midi": midi_path, "audio": wav_path,
+             "out": os.path.join(root, f"out_{i}.wav"),
+             "n_iter": args.n_iter}) for i in range(K)) + "\n"
+
+        def run_daemon(depth):
+            in_s, out_s = io.StringIO(payload), io.StringIO()
+            t0 = time.perf_counter()
+            served = serve.serve_loop(
+                lambda m, a: AudioSynthesizer(root, m, a, model_cfg=cfg,
+                                              params=params),
+                in_s, out_s, pipeline_depth=depth)
+            dt = time.perf_counter() - t0
+            assert served == K, out_s.getvalue()
+            return dt
+
+        run_daemon(2)  # warm pass
+        serial = run_daemon(0)
+        piped = run_daemon(2)
+        print(f"[daemon] {K} x {args.seconds:.0f}s clips: "
+              f"serial {serial:.2f} s ({serial/K:.3f} s/clip), "
+              f"pipelined {piped:.2f} s ({piped/K:.3f} s/clip) -> "
+              f"{serial/piped:.2f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -7,6 +7,11 @@ request after the first runs at steady-state serving speed (measured
 1.26 s per 30 s clip at flagship width on the v5e, ~23.8x realtime;
 scripts/bench_inference.py).
 
+Requests are PIPELINED: the reader thread parses + uploads + dispatches
+(async JAX dispatch), a completer thread blocks on device results, writes
+WAVs, and emits responses in request order — so host prep of request N+1
+hides under device Griffin-Lim of request N (--pipeline-depth, default 2).
+
 Protocol: one JSON object per stdin line ->
     {"midi": PATH, "audio": PATH, "out": PATH,
      "n_iter": 300, "cond_mode": "aligned"|"center",
@@ -81,56 +86,132 @@ def _serve_batch(make_synth, req, mesh) -> dict:
     return {"ok": True, "batch": results}
 
 
-def serve_loop(make_synth, in_stream, out_stream, mesh=None) -> int:
+def serve_loop(make_synth, in_stream, out_stream, mesh=None,
+               pipeline_depth: int = 2) -> int:
     """Handle requests until EOF/'quit'. Returns the number served.
 
     ``make_synth(midi, audio)`` returns an AudioSynthesizer for the request's
     sources; the module-level caches make repeat construction cheap (no
     recompile, no params re-upload). ``mesh``: optional data mesh for batch
     requests' Griffin-Lim scale-out.
+
+    PIPELINED (round-3 verdict #7): the reader thread does the host work —
+    JSON parse, MIDI parse, WAV decode, upload, async device dispatch
+    (AudioSynthesizer.synthesize_waveform_async) — while a single completer
+    thread blocks on the device result, writes the WAV, and emits the
+    response. Host prep of request N+1 hides under device Griffin-Lim of
+    request N (~0.26 s host + ~0.38 s device per 30 s clip at flagship
+    width, so overlap is worth ~1.4x throughput at equal latency).
+    ``pipeline_depth`` bounds in-flight dispatched requests (device arrays
+    held in HBM); responses stay in request order (single FIFO completer).
+    Batch and whole-clip requests run as completer-side units — still in
+    order, still isolated per request. ``pipeline_depth=0`` disables
+    overlap (the reader blocks until the completer drains each request).
     """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, pipeline_depth))
     served = 0
-    for line in in_stream:
-        line = line.strip()
-        if not line:
-            continue
-        if line == "quit":
-            break
-        t0 = time.perf_counter()
-        try:
-            req = json.loads(line)
-            if "batch" in req:
-                resp = _serve_batch(make_synth, req, mesh)
-                resp["seconds"] = round(time.perf_counter() - t0, 3)
-                served += sum(r["ok"] for r in resp["batch"])
-                out_stream.write(json.dumps(resp) + "\n")
-                out_stream.flush()
+    lock = threading.Lock()  # guards `served` (completer) vs return (reader)
+
+    def emit(resp: dict, t0: float, n_ok: int) -> None:
+        nonlocal served
+        resp["seconds"] = round(time.perf_counter() - t0, 3)
+        with lock:
+            served += n_ok
+        out_stream.write(json.dumps(resp) + "\n")
+        out_stream.flush()
+
+    def completer() -> None:
+        while True:
+            item = q.get()
+            try:
+                if item is None:
+                    return
+                kind, payload, t0 = item
+                if kind == "resp":  # parse/dispatch-time error, pre-built
+                    emit(payload, t0, 0)
+                    continue
+                if kind == "thunk":  # batch / whole-clip / sync fallback
+                    try:
+                        resp = payload()
+                        n_ok = (sum(r["ok"] for r in resp["batch"])
+                                if "batch" in resp else int(resp["ok"]))
+                    except Exception as e:  # noqa: BLE001 — isolation
+                        resp = {"ok": False,
+                                "error": f"{type(e).__name__}: {e}"}
+                        n_ok = 0
+                    emit(resp, t0, n_ok)
+                    continue
+                # kind == "fetch": block on the in-flight device result
+                fetch, out_path, sr = payload
+                try:
+                    wav = fetch()
+                    _write_wav_out(wav, out_path, sr)
+                    dt = time.perf_counter() - t0
+                    resp = {"ok": True, "out": out_path,
+                            "realtime_x": round(len(wav) / sr / dt, 2)}
+                    n_ok = 1
+                except Exception as e:  # noqa: BLE001 — isolation
+                    resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                    n_ok = 0
+                emit(resp, t0, n_ok)
+            finally:
+                q.task_done()
+
+    worker = threading.Thread(target=completer, name="serve-completer",
+                              daemon=True)
+    worker.start()
+    try:
+        for line in in_stream:
+            line = line.strip()
+            if not line:
                 continue
-            synth = make_synth(req["midi"], req["audio"])
-            n_iter = int(req.get("n_iter", 300))
-            if req.get("whole_clip"):
-                # shard_gl (default auto): time-shard Griffin-Lim over the
-                # mesh too, so long-clip serving scales in both phases
-                wav = synth.synthesize_whole_clip(
-                    n_iter=n_iter, shard_gl=req.get("shard_gl"),
-                    gl_halo=int(req.get("gl_halo", 32)),
-                    gl_rounds=int(req.get("gl_rounds", 10)))
-            else:
-                wav = synth.synthesize_waveform(
+            if line == "quit":
+                break
+            t0 = time.perf_counter()
+            try:
+                req = json.loads(line)
+                if "batch" in req:
+                    q.put(("thunk",
+                           lambda req=req: _serve_batch(make_synth, req, mesh),
+                           t0))
+                    continue
+                synth = make_synth(req["midi"], req["audio"])
+                n_iter = int(req.get("n_iter", 300))
+                if req.get("whole_clip"):
+                    # shard_gl (default auto): time-shard Griffin-Lim over
+                    # the mesh too, so long-clip serving scales in both
+                    # phases. Whole-clip synthesis gathers/fetches
+                    # internally, so it runs as one completer-side unit.
+                    def run_whole(synth=synth, req=req, n_iter=n_iter):
+                        wav = synth.synthesize_whole_clip(
+                            n_iter=n_iter, shard_gl=req.get("shard_gl"),
+                            gl_halo=int(req.get("gl_halo", 32)),
+                            gl_rounds=int(req.get("gl_rounds", 10)))
+                        _write_wav_out(wav, req["out"], synth.hp.sr)
+                        return {"ok": True, "out": req["out"]}
+
+                    q.put(("thunk", run_whole, t0))
+                    continue
+                # the hot path: host prep + async dispatch HERE, device
+                # wait + WAV write in the completer
+                fetch = synth.synthesize_waveform_async(
                     n_iter=n_iter,
                     overlap=bool(req.get("overlap", True)),
                     cond_mode=req.get("cond_mode", "aligned"))
-            out_path = req["out"]
-            _write_wav_out(wav, out_path, synth.hp.sr)
-            dt = time.perf_counter() - t0
-            resp = {"ok": True, "out": out_path, "seconds": round(dt, 3),
-                    "realtime_x": round(len(wav) / synth.hp.sr / dt, 2)}
-            served += 1
-        except Exception as e:  # per-request isolation: the daemon survives
-            resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-        out_stream.write(json.dumps(resp) + "\n")
-        out_stream.flush()
-    return served
+                q.put(("fetch", (fetch, req["out"], synth.hp.sr), t0))
+                if pipeline_depth == 0:
+                    q.join()
+            except Exception as e:  # per-request isolation at dispatch time
+                q.put(("resp", {"ok": False,
+                                "error": f"{type(e).__name__}: {e}"}, t0))
+    finally:
+        q.put(None)
+        worker.join()
+    with lock:
+        return served
 
 
 def main(argv=None) -> None:
@@ -143,6 +224,10 @@ def main(argv=None) -> None:
     ap.add_argument("--mesh-data", type=int, default=1,
                     help="data-parallel devices for batch requests' "
                          "Griffin-Lim scale-out (infer/bulk.py)")
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="max in-flight dispatched requests: host prep of "
+                         "request N+1 overlaps device work of request N "
+                         "(0 = serial)")
     args = ap.parse_args(argv)
 
     from ml_music_style_transfer_tpu.config import ModelConfig
@@ -168,7 +253,8 @@ def main(argv=None) -> None:
 
     print(f"serving {exp_dir} (width_mult={args.width_mult}); "
           "one JSON request per line, 'quit' or EOF to stop", file=sys.stderr)
-    n = serve_loop(make_synth, sys.stdin, sys.stdout, mesh=mesh)
+    n = serve_loop(make_synth, sys.stdin, sys.stdout, mesh=mesh,
+                   pipeline_depth=args.pipeline_depth)
     print(f"served {n} requests", file=sys.stderr)
 
 
