@@ -8,11 +8,18 @@ the jitted forward (and the Griffin-Lim synthesis program) as versioned
 StableHLO that any PJRT runtime — Python-less C++ servers included — can
 load and run, with the checkpoint params passed as ordinary arguments.
 
-Two artifacts:
+Three artifacts:
   - forward: (params, midi, cond, onoff) -> log-power spec, the
     deterministic serving forward (reference model/inference.py:74-91).
   - griffinlim: log-power spec -> waveform at a fixed iteration count
     (reference model/inference.py:105-110).
+  - serving: the FUSED end-to-end serving program — timbre waveform +
+    int8 MIDI tiles -> styled waveform — cond STFT + per-tile gather +
+    tiled forward + triangular crossfade blend + Griffin-Lim in ONE
+    program, exactly the device program chain AudioSynthesizer
+    .synthesize_waveform dispatches (infer/synthesize.py:_predict_device),
+    so a Python-less PJRT server reproduces serving end to end
+    (round-3 verdict #8).
 
 Params ride as ARGUMENTS (not baked constants): the artifact stays small
 (~1 MB), one artifact serves every checkpoint of the experiment, and the
@@ -92,17 +99,104 @@ def export_griffinlim(n_iter: int = 300, bins: int = 1025, frames: int = 860,
     return jax.export.export(jax.jit(synth), platforms=platforms)(spec, key)
 
 
+def export_serving(model_cfg: ModelConfig, n_tiles: int = 8,
+                   audio_samples: int = 44100 * 30, n_iter: int = 300,
+                   hp=None, platforms: Sequence[str] | None = None):
+    """Export the FUSED serving program: (params, audio, roll int8 tiles,
+    onoff int8 tiles, starts, cond_starts, valid, t_total, key) -> waveform.
+
+    One program covers the whole device-side serving chain
+    (infer/synthesize.py:_predict_device + Griffin-Lim): the timbre
+    waveform's log-power STFT, the cyclic per-tile conditioning gather,
+    the batched tiled forward + triangular crossfade blend
+    (_predict_blend_jit), and Griffin-Lim phase recovery. Shapes are
+    fixed at export: ``n_tiles`` MIDI tiles (pad short clips with
+    valid=0 tiles, the same bucketing the Python path uses) and
+    ``audio_samples`` of timbre audio; ``t_total`` stays a runtime scalar
+    (frames past it are masked to silence before GL, so they iterate
+    inertly). Transform resolution follows export_griffinlim's platform
+    pinning rules.
+    """
+    from ..config import DEFAULT_DSP
+    from ..infer.synthesize import _predict_blend_jit
+    from ..models import PerformanceNet
+    from ..ops import griffinlim as jgl
+    from ..ops import stft as jstft
+
+    hp = hp or DEFAULT_DSP
+    win = hp.windows_per_chunk
+    l_out = (n_tiles - 1) * (win // 2) + win
+    l_out = -(-l_out // (win // 2)) * (win // 2)
+
+    if platforms and platforms[0].lower() == "tpu":
+        transform = "dft"
+    elif platforms:
+        transform = "fft"
+    else:
+        transform = None
+    glue = False if platforms else None
+
+    run = _predict_blend_jit(model_cfg)
+
+    def serve(params, audio, roll, onoff, starts, cond_starts, valid,
+              t_total, key):
+        spec = jnp.swapaxes(
+            jstft.log_power_stft(audio, hp.n_fft, hp.ws), -1, -2)
+        n_valid = spec.shape[0]
+        j = jnp.arange(win, dtype=jnp.int32)
+        idx = (cond_starts[:, None].astype(jnp.int32) + j[None, :]) % n_valid
+        cond = spec[idx]
+        pred = run(params, roll, onoff, cond, starts, valid, t_total,
+                   l_out=l_out)
+        mag = jnp.sqrt(jnp.expm1(jnp.clip(
+            jnp.swapaxes(pred, -1, -2), 0.0, hp.clip_log_power_max)))
+        return jgl.griffinlim(mag, key=key, n_iter=n_iter,
+                              hop_length=hp.ws, transform=transform,
+                              use_pallas_glue=glue)
+
+    f32, i8, i32 = jnp.float32, jnp.int8, jnp.int32
+    model = PerformanceNet(model_cfg)
+    dummy = (
+        jax.ShapeDtypeStruct((n_tiles, win, model_cfg.start_channels), f32),
+        jax.ShapeDtypeStruct((n_tiles, win, model_cfg.start_audio_channels), f32),
+        jax.ShapeDtypeStruct((n_tiles, win, model_cfg.start_channels), f32),
+    )
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), *dummy)
+    args = (
+        params,
+        jax.ShapeDtypeStruct((audio_samples,), f32),
+        jax.ShapeDtypeStruct((n_tiles, win, model_cfg.start_channels), i8),
+        jax.ShapeDtypeStruct((n_tiles, win, model_cfg.start_channels), i8),
+        jax.ShapeDtypeStruct((n_tiles,), i32),
+        jax.ShapeDtypeStruct((n_tiles,), i32),
+        jax.ShapeDtypeStruct((n_tiles,), f32),
+        jax.ShapeDtypeStruct((), i32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+    )
+    return jax.export.export(jax.jit(serve), platforms=platforms)(*args)
+
+
 def write_artifacts(out_dir: str, model_cfg: ModelConfig, t: int = 860,
                     batch: int = 1, n_iter: int = 300, frames: int = 860,
-                    platforms: Sequence[str] | None = None) -> dict:
-    """Serialize forward + griffinlim artifacts + a manifest into out_dir."""
+                    platforms: Sequence[str] | None = None,
+                    serving_n_tiles: int = 8,
+                    serving_audio_samples: int = 44100 * 30) -> dict:
+    """Serialize forward + griffinlim + fused-serving artifacts + manifest.
+
+    Pass ``serving_n_tiles=0`` to skip the fused serving artifact."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     fwd = export_forward(model_cfg, t=t, batch=batch, platforms=platforms)
     gl = export_griffinlim(n_iter=n_iter, frames=frames, platforms=platforms)
+    artifacts = [("forward", fwd), ("griffinlim", gl)]
+    if serving_n_tiles:
+        artifacts.append(("serving", export_serving(
+            model_cfg, n_tiles=serving_n_tiles,
+            audio_samples=serving_audio_samples, n_iter=n_iter,
+            platforms=platforms)))
     paths = {}
-    for name, exp in (("forward", fwd), ("griffinlim", gl)):
+    for name, exp in artifacts:
         p = os.path.join(out_dir, f"{name}.stablehlo")
         with open(p, "wb") as f:
             f.write(bytes(exp.serialize()))
@@ -116,6 +210,10 @@ def write_artifacts(out_dir: str, model_cfg: ModelConfig, t: int = 860,
                     "compat_mbr_noop": model_cfg.compat_mbr_noop},
         "griffinlim": {"n_iter": n_iter, "frames": frames},
     }
+    if serving_n_tiles:
+        manifest["serving"] = {"n_tiles": serving_n_tiles,
+                               "audio_samples": serving_audio_samples,
+                               "n_iter": n_iter}
     mp = os.path.join(out_dir, "manifest.json")
     with open(mp, "w") as f:
         json.dump(manifest, f, indent=2)
