@@ -63,3 +63,37 @@ def multiscale_spectral_loss(
         log = jnp.mean(jnp.abs(jnp.log1p(mp) - jnp.log1p(mt)), axis=(1, 2))
         total = total + _weighted_mean(lin + log_alpha * log, weight)
     return total / len(mel_scales)
+
+
+def mel_multiscale_spectral_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: jnp.ndarray,
+    band_scales: tuple = (1, 2, 4),
+    log_alpha: float = 1.0,
+) -> jnp.ndarray:
+    """Multi-resolution spectral distance for models whose OUTPUT domain is
+    already mel: (B, T, n_mels) log1p(mel power) frames.
+
+    The multiscale_spectral_loss above projects linear-frequency outputs
+    (the flagship's 1025 bins) onto mel banks of several sizes; when the
+    model reconstructs mel frames directly (the autoencoder family,
+    models/autoencoder.py — BASELINE config 3), the resolutions come from
+    adjacent-band mean pooling instead: for each k in ``band_scales``, the
+    n_mels bands are pooled to n_mels/k and L1(linear power) +
+    log_alpha * L1(log power) accumulated — the same Engel et al. (DDSP,
+    arXiv:2001.04643) recipe in the model's own domain.
+    """
+    pow_p = jnp.expm1(pred)
+    pow_t = jnp.expm1(target)
+    n_mels = pred.shape[-1]
+    total = 0.0
+    for k in band_scales:
+        if n_mels % k:
+            raise ValueError(f"n_mels={n_mels} not divisible by band scale {k}")
+        pp = pow_p.reshape(*pow_p.shape[:-1], n_mels // k, k).mean(-1)
+        pt = pow_t.reshape(*pow_t.shape[:-1], n_mels // k, k).mean(-1)
+        lin = jnp.mean(jnp.abs(pp - pt), axis=(1, 2))
+        log = jnp.mean(jnp.abs(jnp.log1p(pp) - jnp.log1p(pt)), axis=(1, 2))
+        total = total + _weighted_mean(lin + log_alpha * log, weight)
+    return total / len(band_scales)
