@@ -119,6 +119,40 @@ def discover_styles(data_dir: str) -> list[str]:
     return sorted(styles)
 
 
+def _decode_ahead(data_dir, song_ids, styles, hp, depth: int = 2):
+    """Threaded decode-ahead over (song, style) audio files.
+
+    End-to-end preprocess wall time on this 1-core host is dominated by the
+    per-file HOST work — WAV read + resample (load_audio) — not the device
+    STFT (round-3 verdict #4; REAL_DATA_CHECK measured the host side at
+    >90% of wall). A single producer thread decodes the NEXT files while the
+    main thread runs the device STFT + HDF5 writes for the current one, the
+    same overlap pattern as the C++ fastloader's slot ring. Yields
+    (song_id, style, audio | None) in deterministic order; None = the
+    style's file is missing/corrupt (the reference's graceful skip,
+    preprocess.py:185-190).
+    """
+    import queue
+    import threading
+
+    jobs = [(sid, st) for sid in song_ids for st in styles]
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+
+    def producer():
+        for sid, st in jobs:
+            try:
+                audio = load_audio(data_dir, sid, st, hp)
+            except Exception:
+                audio = None
+            q.put((sid, st, audio))
+
+    t = threading.Thread(target=producer, name="decode-ahead", daemon=True)
+    t.start()
+    for _ in jobs:
+        yield q.get()
+    t.join()
+
+
 def get_data(
     data_dir: str,
     dataset_outpath: str,
@@ -130,13 +164,20 @@ def get_data(
     max_chunks: int = 100,
     dtype: str = "float32",
     store_audio: bool = False,
+    prefetch: bool = True,
 ) -> str:
-    """Build {dataset_outpath}_{data_type}.hdf5 (reference preprocess.py:163-200)."""
+    """Build {dataset_outpath}_{data_type}.hdf5 (reference preprocess.py:163-200).
+
+    ``prefetch``: decode the next (song, style) WAV on a producer thread
+    while this thread runs the device STFT + HDF5 writes (see
+    _decode_ahead); False restores the fully serial loop.
+    """
     song_ids = PIANO_SCORES[data_type] if song_ids is None else song_ids
     styles = STYLES if styles is None else styles
     h5pyname = f"{dataset_outpath}_{data_type}.hdf5"
     with h5py.File(h5pyname, "w") as h5f:
         store = H5Store(h5f, dtype=dtype)
+        chunks_by_song = {}
         for song_id in song_ids:
             roll, onoff = load_midi(data_dir, song_id, hp=hp)
             num_chunks = chunking.num_song_chunks(roll.shape[0], hp, max_chunks=max_chunks)
@@ -147,7 +188,13 @@ def get_data(
                 for step in range(num_chunks):
                     _write_debug_samples(DEBUG_DIR, song_id, step, hp, roll_chunk=roll_chunks[step])
             store.write_pianoroll(roll_chunks, onoff_chunks)
+            # only shapes are needed downstream (debug alignment asserts);
+            # keeping the arrays would pin every song's rolls in host memory
+            chunks_by_song[song_id] = (num_chunks, roll_chunks.shape,
+                                       onoff_chunks.shape)
 
+            if prefetch:
+                continue  # audio handled by the decode-ahead pass below
             for style in styles:
                 try:
                     audio = load_audio(data_dir, song_id, style, hp)
@@ -155,20 +202,40 @@ def get_data(
                     # not all styles exist for all midi (preprocess.py:185-190)
                     print(f"Couldnt load audio for song={song_id}, style={style}, skipping...")
                     continue
-                audio_chunks = chunking.chunk_audio(audio, num_chunks, hp)
-                if debug:
-                    for step in range(num_chunks):
-                        _write_debug_samples(DEBUG_DIR, song_id, step, hp, style=style, audio_chunk=audio_chunks[step])
-                spec_chunks = spectrograms_from_chunks(audio_chunks, hp)
-                store.write_spectrum(spec_chunks, style)
-                if store_audio:
-                    # raw audio chunks enable device-resident training
-                    # (spectrograms recomputed on-device; see data/device_store.py)
-                    store.write_audio(audio_chunks, style)
-                if debug:
-                    assert roll_chunks.shape[0] == spec_chunks.shape[0]
-                    assert roll_chunks.shape == onoff_chunks.shape
+                _ingest_style_audio(store, audio, song_id, style,
+                                    chunks_by_song[song_id], hp, debug,
+                                    store_audio)
+
+        if prefetch:
+            for song_id, style, audio in _decode_ahead(
+                    data_dir, song_ids, styles, hp):
+                if audio is None:
+                    print(f"Couldnt load audio for song={song_id}, style={style}, skipping...")
+                    continue
+                _ingest_style_audio(store, audio, song_id, style,
+                                    chunks_by_song[song_id], hp, debug,
+                                    store_audio)
     return h5pyname
+
+
+def _ingest_style_audio(store, audio, song_id, style, song_chunks, hp,
+                        debug, store_audio) -> None:
+    """Chunk one style's decoded audio, device-STFT it, write to the store."""
+    num_chunks, roll_shape, onoff_shape = song_chunks
+    audio_chunks = chunking.chunk_audio(audio, num_chunks, hp)
+    if debug:
+        for step in range(num_chunks):
+            _write_debug_samples(DEBUG_DIR, song_id, step, hp, style=style,
+                                 audio_chunk=audio_chunks[step])
+    spec_chunks = spectrograms_from_chunks(audio_chunks, hp)
+    store.write_spectrum(spec_chunks, style)
+    if store_audio:
+        # raw audio chunks enable device-resident training
+        # (spectrograms recomputed on-device; see data/device_store.py)
+        store.write_audio(audio_chunks, style)
+    if debug:
+        assert roll_shape[0] == spec_chunks.shape[0]
+        assert roll_shape == onoff_shape
 
 
 def main(args) -> None:
