@@ -45,6 +45,12 @@ def main():
                          "adam_compact); bfloat16 cuts the optimizer sweep "
                          "to 20 B/param (storage-only cast, arithmetic "
                          "float32; convergence-parity tested)")
+    ap.add_argument("--grads-dtype", choices=("float32", "bfloat16"),
+                    default=None,
+                    help="gradient transit dtype between backward and "
+                         "optimizer (TrainConfig.grads_dtype; bfloat16 "
+                         "halves materialized grad-buffer HBM traffic, "
+                         "convergence-parity tested). Default None = f32.")
     args = ap.parse_args()
 
     import jax
@@ -65,9 +71,11 @@ def main():
 
     B, T = args.batch_size, 860
     model_cfg = ModelConfig(width_mult=args.width_mult)
+    gd = None if args.grads_dtype in (None, "float32") else args.grads_dtype
     trainer = Trainer(model_cfg, TrainConfig(batch_size=B,
                                              adam_mu_dtype=args.adam_mu_dtype,
-                                             adam_nu_dtype=args.adam_nu_dtype))
+                                             adam_nu_dtype=args.adam_nu_dtype,
+                                             grads_dtype=gd))
     params, opt_state = trainer.init_state(0)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"params: {n_params/1e6:.1f}M, width_mult={args.width_mult}")
@@ -242,6 +250,7 @@ def main():
         "batch_size": B,
         "adam_mu_dtype": args.adam_mu_dtype,
         "adam_nu_dtype": args.adam_nu_dtype,
+        "grads_dtype": gd or "float32",
         "params_m": round(n_params / 1e6, 1),
         "device": str(dev),
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},

@@ -157,6 +157,13 @@ class TrainConfig:
     # switches to train/optim.py:adam_compact (storage-only cast; arithmetic
     # stays float32). bf16 m+v cuts the optimizer sweep to 20 B/param.
     adam_nu_dtype: str | None = None
+    # Gradient TRANSIT dtype between backward and optimizer: "bfloat16"
+    # rounds each grad leaf to bf16 and immediately upcasts, so XLA's
+    # materialized grad buffers (written by the conv backward epilogues,
+    # read by the optimizer sweep) are half-width while ALL Adam arithmetic
+    # stays float32 (the cast pair fuses into producer/consumer). None = f32
+    # grads (exact parity). Convergence-parity tested like the moment dtypes.
+    grads_dtype: str | None = None
     # Training-quality options absent in the reference (train.py:188 is bare
     # Adam) — both off by default for parity. grad_clip_norm bounds the
     # global update norm (optax.clip_by_global_norm before Adam);

@@ -54,6 +54,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Adam second-moment dtype; bfloat16 (with "
                         "--adam-mu-dtype bfloat16) cuts the optimizer sweep "
                         "to 20 B/param (train/optim.py adam_compact)")
+    p.add_argument("--grads-dtype", choices=("float32", "bfloat16"),
+                   default=None,
+                   help="gradient transit dtype between backward and the "
+                        "optimizer; bfloat16 halves materialized grad-buffer "
+                        "HBM traffic (Adam arithmetic stays float32; "
+                        "convergence-parity tested)")
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    help="clip the global gradient norm before Adam (off by "
                         "default = reference parity)")
@@ -106,6 +112,8 @@ def main(argv=None) -> None:
         mesh_shape=(args.mesh_data, args.mesh_model),
         adam_mu_dtype=args.adam_mu_dtype,
         adam_nu_dtype=args.adam_nu_dtype,
+        grads_dtype=(None if args.grads_dtype == "float32"
+                     else args.grads_dtype),
         grad_clip_norm=args.grad_clip_norm,
         warmup_steps=args.warmup_steps,
         ema_decay=args.ema_decay,

@@ -152,6 +152,15 @@ class Trainer:
 
         def train_step(params, opt_state, batch, rng):
             loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            if cfg.grads_dtype is not None:
+                # round-trip cast: the down-cast fuses into the backward's
+                # epilogue and the up-cast into the optimizer sweep, so the
+                # grad buffers that cross HBM between them are low-precision
+                # while the Adam arithmetic stays float32 (measured lever,
+                # BASELINE.md optimizer section; round-3 verdict #6)
+                gd = jnp.dtype(cfg.grads_dtype)
+                grads = jax.tree_util.tree_map(
+                    lambda g: g.astype(gd).astype(jnp.float32), grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if self._zero_shardings is not None:

@@ -148,6 +148,29 @@ class TestTrainStep:
             rel = np.abs(cur - f32) / np.maximum(np.abs(f32), 1e-6)
             assert float(rel.mean()) < tol, (key, rel.mean(), f32[-5:], cur[-5:])
 
+    def test_bf16_grads_convergence_parity(self):
+        """grads_dtype='bfloat16' (low-precision grad transit between
+        backward and optimizer — round-3 verdict #6 lever) must track the
+        f32-grad trajectory like the moment dtypes do."""
+        curves = {}
+        for gd in (None, "bfloat16"):
+            tr = Trainer(TINY, TrainConfig(batch_size=2, learning_rate=1e-3,
+                                           grads_dtype=gd))
+            params, opt_state = tr.init_state(0)
+            batch = tiny_batch()
+            rng = jax.random.PRNGKey(0)
+            ls = []
+            for _ in range(25):
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = tr.train_step(params, opt_state,
+                                                        batch, sub)
+                ls.append(float(loss))
+            curves[gd] = np.asarray(ls)
+        f32, bf = curves[None], curves["bfloat16"]
+        assert bf[-1] < bf[0] * 0.7, bf
+        rel = np.abs(bf - f32) / np.maximum(np.abs(f32), 1e-6)
+        assert float(rel.mean()) < 0.08, (rel.mean(), f32[-5:], bf[-5:])
+
     def test_grad_clip_and_warmup_options(self):
         """Off-by-default training-quality knobs: warmup scales the first
         update down by ~1/warmup_steps; grad clipping bounds the update; the
