@@ -46,3 +46,29 @@ class TestLosses:
         other = np.abs(rng.standard_normal((2, 40, 1025))).astype(np.float32)
         nonzero = float(losses.multiscale_spectral_loss(jnp.asarray(spec), jnp.asarray(other), w))
         assert nonzero > zero
+
+    def test_mel_multiscale_spectral_loss_properties(self):
+        """Mel-domain variant (autoencoder family, losses.py): zero at equal
+        inputs, positive otherwise, weight-mask exact, and loud on a bad
+        band_scales divisor."""
+        import pytest
+
+        rng = np.random.default_rng(4)
+        mel = np.log1p(np.abs(rng.standard_normal((2, 16, 32)))).astype(np.float32)
+        w = jnp.ones(2)
+        zero = float(losses.mel_multiscale_spectral_loss(
+            jnp.asarray(mel), jnp.asarray(mel), w))
+        assert zero < 1e-6
+        other = np.log1p(np.abs(rng.standard_normal((2, 16, 32)))).astype(np.float32)
+        nonzero = float(losses.mel_multiscale_spectral_loss(
+            jnp.asarray(mel), jnp.asarray(other), w))
+        assert nonzero > 1e-3
+        # padded items drop exactly
+        mel4 = np.concatenate([mel, rng.random((2, 16, 32)).astype(np.float32)])
+        oth4 = np.concatenate([other, rng.random((2, 16, 32)).astype(np.float32)])
+        masked = float(losses.mel_multiscale_spectral_loss(
+            jnp.asarray(mel4), jnp.asarray(oth4), jnp.asarray([1., 1., 0., 0.])))
+        assert abs(masked - nonzero) < 1e-6
+        with pytest.raises(ValueError, match="not divisible"):
+            losses.mel_multiscale_spectral_loss(
+                jnp.asarray(mel), jnp.asarray(other), w, band_scales=(5,))
