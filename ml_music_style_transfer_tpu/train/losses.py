@@ -43,6 +43,7 @@ def multiscale_spectral_loss(
     n_fft: int = 2048,
     mel_scales: tuple = (512, 256, 128, 64),
     log_alpha: float = 1.0,
+    clip_max: float = 20.0,
 ) -> jnp.ndarray:
     """Multi-resolution spectral distance on (B, T, bins) log-power specs.
 
@@ -50,9 +51,16 @@ def multiscale_spectral_loss(
     onto mel banks at several resolutions, and sums L1(linear) +
     log_alpha * L1(log) per scale — the Engel et al. (DDSP,
     arXiv:2001.04643) recipe adapted to spectrogram-output models.
+
+    Inputs are clipped to [0, clip_max] BEFORE inversion: the DSP contract
+    clips log-power at clip_max (ops/stft.log_power_stft), so values past it
+    are out-of-domain — and an early-training prediction spike past ~88
+    overflows expm1 in float32, poisoning the whole trajectory with NaNs
+    (observed on the TPU gate at lr=1e-3, weight=0.1; the L1 term still
+    pulls clipped spikes down, spectral gradients resume once in-domain).
     """
-    mag_p = jstft.inverse_log_power(pred)
-    mag_t = jstft.inverse_log_power(target)
+    mag_p = jstft.inverse_log_power(jnp.clip(pred, 0.0, clip_max))
+    mag_t = jstft.inverse_log_power(jnp.clip(target, 0.0, clip_max))
     pow_p = jnp.swapaxes(mag_p**2, -1, -2)  # (B, bins, T)
     pow_t = jnp.swapaxes(mag_t**2, -1, -2)
     total = 0.0

@@ -1,6 +1,7 @@
 """Loss function unit tests: torch parity, weight-mask exactness, spectral loss."""
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ml_music_style_transfer_tpu.train import losses
@@ -72,3 +73,20 @@ class TestLosses:
         with pytest.raises(ValueError, match="not divisible"):
             losses.mel_multiscale_spectral_loss(
                 jnp.asarray(mel), jnp.asarray(other), w, band_scales=(5,))
+
+    def test_multiscale_spectral_loss_finite_on_out_of_domain_pred(self):
+        """NaN regression (round-4 TPU gate, w=0.1, lr=1e-3): an
+        early-training prediction spike past ~88 log-power overflowed expm1
+        in f32 and made the loss (and every grad after it) NaN. The loss
+        clips inputs to the DSP log-power domain [0, clip_max] first."""
+        rng = np.random.default_rng(5)
+        target = (rng.random((2, 16, 1025)) * 3).astype(np.float32)
+        pred = target.copy()
+        pred[0, 0, :10] = 120.0  # would be expm1(120) = inf in f32
+        w = jnp.ones(2)
+        val = float(losses.multiscale_spectral_loss(
+            jnp.asarray(pred), jnp.asarray(target), w))
+        assert np.isfinite(val), val
+        g = jax.grad(lambda p: losses.multiscale_spectral_loss(
+            p, jnp.asarray(target), w))(jnp.asarray(pred))
+        assert np.all(np.isfinite(np.asarray(g)))
