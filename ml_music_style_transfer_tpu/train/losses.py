@@ -15,7 +15,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops import mel as jmel
-from ..ops import stft as jstft
 
 
 def _weighted_mean(per_item: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
@@ -52,17 +51,20 @@ def multiscale_spectral_loss(
     log_alpha * L1(log) per scale — the Engel et al. (DDSP,
     arXiv:2001.04643) recipe adapted to spectrogram-output models.
 
-    Inputs are clipped to [0, clip_max] BEFORE inversion: the DSP contract
-    clips log-power at clip_max (ops/stft.log_power_stft), so values past it
-    are out-of-domain — and an early-training prediction spike past ~88
-    overflows expm1 in float32, poisoning the whole trajectory with NaNs
-    (observed on the TPU gate at lr=1e-3, weight=0.1; the L1 term still
-    pulls clipped spikes down, spectral gradients resume once in-domain).
+    Numerical-safety contract (both bit the round-4 TPU gate at lr=1e-3,
+    weight=0.1):
+      - inputs are clipped to [0, clip_max] BEFORE inversion — the DSP
+        contract clips log-power there (ops/stft.log_power_stft), and an
+        early-training prediction spike past ~88 overflows expm1 in f32;
+      - the power spectrogram is expm1(x) DIRECTLY, never
+        sqrt(expm1(x))**2: sqrt'(0) = inf, the model's output has many
+        elements <= 0 (leaky-ReLU negatives land on the clip floor), and
+        their downstream cotangent is exactly 0 there, so the chain
+        produced 0 * inf = NaN in the gradient on the very first step
+        while the LOSS VALUE stayed finite.
     """
-    mag_p = jstft.inverse_log_power(jnp.clip(pred, 0.0, clip_max))
-    mag_t = jstft.inverse_log_power(jnp.clip(target, 0.0, clip_max))
-    pow_p = jnp.swapaxes(mag_p**2, -1, -2)  # (B, bins, T)
-    pow_t = jnp.swapaxes(mag_t**2, -1, -2)
+    pow_p = jnp.swapaxes(jnp.expm1(jnp.clip(pred, 0.0, clip_max)), -1, -2)
+    pow_t = jnp.swapaxes(jnp.expm1(jnp.clip(target, 0.0, clip_max)), -1, -2)
     total = 0.0
     for n_mels in mel_scales:
         mp = jmel.melspectrogram_from_power(pow_p, sr, n_fft, n_mels)

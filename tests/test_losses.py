@@ -75,14 +75,19 @@ class TestLosses:
                 jnp.asarray(mel), jnp.asarray(other), w, band_scales=(5,))
 
     def test_multiscale_spectral_loss_finite_on_out_of_domain_pred(self):
-        """NaN regression (round-4 TPU gate, w=0.1, lr=1e-3): an
-        early-training prediction spike past ~88 log-power overflowed expm1
-        in f32 and made the loss (and every grad after it) NaN. The loss
-        clips inputs to the DSP log-power domain [0, clip_max] first."""
+        """NaN regressions (round-4 TPU gate, w=0.1, lr=1e-3), asserted on
+        the GRADIENT (the loss value stayed finite while grads were NaN):
+        (a) prediction spikes past ~88 log-power overflow expm1 in f32 —
+        clipped to the DSP domain first; (b) elements <= 0 (leaky-ReLU
+        negatives / exact relu zeros, i.e. MOST of a real early-training
+        output) hit sqrt'(0) = inf when the power went through
+        sqrt(expm1(x))**2 — the power is now expm1(x) directly."""
         rng = np.random.default_rng(5)
         target = (rng.random((2, 16, 1025)) * 3).astype(np.float32)
         pred = target.copy()
-        pred[0, 0, :10] = 120.0  # would be expm1(120) = inf in f32
+        pred[0, 0, :10] = 120.0   # (a) would be expm1(120) = inf in f32
+        pred[0, 1, :100] = 0.0    # (b) sqrt'(0) = inf with zero cotangent
+        pred[0, 2, :100] = -0.3   # (b) leaky-ReLU negatives on the clip floor
         w = jnp.ones(2)
         val = float(losses.multiscale_spectral_loss(
             jnp.asarray(pred), jnp.asarray(target), w))

@@ -229,12 +229,20 @@ class TestTrainStep:
                                        rtol=1e-5, atol=1e-7)
 
     def test_spectral_loss_option(self):
+        """MULTIPLE steps on purpose: the round-4 TPU gate found a gradient
+        NaN (0 * inf through sqrt'(0) on the model's <=0 outputs) whose loss
+        VALUE stayed finite — a single-step loss check cannot see it; the
+        second step's loss goes NaN once the poisoned update lands."""
         cfg = TrainConfig(batch_size=2, spectral_loss_weight=0.1)
         tr = Trainer(TINY, cfg)
         params, opt_state = tr.init_state(0)
         batch = tiny_batch()
-        _, _, loss = tr.train_step(params, opt_state, batch, jax.random.PRNGKey(0))
-        assert np.isfinite(float(loss))
+        rng = jax.random.PRNGKey(0)
+        for _ in range(3):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = tr.train_step(params, opt_state, batch,
+                                                    sub)
+            assert np.isfinite(float(loss)), float(loss)
 
 
 class TestCheckpoint:
