@@ -71,12 +71,29 @@ def load_midi(data_dir: str, song_id, ext: str = "mixcraft", hp: DSPConfig = DEF
     return pr.vectorize_notes(mf.notes, hp.wps)
 
 
-def spectrograms_from_chunks(audio_chunks: np.ndarray, hp: DSPConfig = DEFAULT_DSP) -> np.ndarray:
-    """(N, samples) -> (N, 1025, 860) log-power specs, batched on device.
+def spectrograms_from_chunks(audio_chunks: np.ndarray, hp: DSPConfig = DEFAULT_DSP,
+                             backend: str = "device") -> np.ndarray:
+    """(N, samples) -> (N, 1025, 860) log-power specs.
 
-    Equivalent to N calls of the reference's process_spectrum_from_chunk
-    (preprocess.py:47-57) but dispatched in _STFT_BATCH-sized device batches.
+    ``backend="device"``: equivalent to N calls of the reference's
+    process_spectrum_from_chunk (preprocess.py:47-57) but dispatched in
+    _STFT_BATCH-sized device batches — the right choice on a normally
+    attached accelerator (the kernel is 361x the host, BASELINE.md).
+    ``backend="host"``: the NumPy golden path, no accelerator round-trip —
+    measured FASTER end to end on a slow host<->device link, where the
+    (N, 1025, 860) float32 download dominates wall time
+    (PREPROCESS_BENCH.json: 0.05 GB/s tunnel, device 47 s vs host 19 s for
+    4 songs x 2 styles). Both produce the same spectrograms to ~2e-4.
     """
+    if backend == "host":
+        from ..ops import reference as npref
+
+        return np.stack([
+            npref.log_power(npref.stft(c, hp.n_fft, hp.ws))
+            for c in audio_chunks]).astype(np.float32) if len(audio_chunks) \
+            else np.zeros((0, hp.n_freq_bins, hp.windows_per_chunk), np.float32)
+    if backend != "device":
+        raise ValueError(f"stft backend must be 'device' or 'host', got {backend!r}")
     outs = []
     for i in range(0, len(audio_chunks), _STFT_BATCH):
         batch = jnp.asarray(audio_chunks[i : i + _STFT_BATCH])
@@ -165,13 +182,31 @@ def get_data(
     dtype: str = "float32",
     store_audio: bool = False,
     prefetch: bool = True,
+    stft_backend: str = "device",
+    write_spectrum: bool = True,
 ) -> str:
     """Build {dataset_outpath}_{data_type}.hdf5 (reference preprocess.py:163-200).
 
     ``prefetch``: decode the next (song, style) WAV on a producer thread
     while this thread runs the device STFT + HDF5 writes (see
     _decode_ahead); False restores the fully serial loop.
+
+    ``stft_backend``: "device" (default) or "host" — see
+    spectrograms_from_chunks; pick "host" on slow host<->device links.
+
+    ``write_spectrum=False`` skips spectrogram computation AND the
+    spec_{style} datasets entirely (requires ``store_audio=True``): the
+    device-resident training path (data/device_store.py) recomputes
+    spectrograms on-device from the raw audio chunks every step, so for a
+    TPU-native workflow the stored spectrograms are dead weight — the
+    largest compute AND the largest bytes in the pipeline
+    (PREPROCESS_BENCH.json measures the skip at ~5x end-to-end).
+    Host-streamed training (ChunkDataset) needs them; it fails loudly on
+    such a file.
     """
+    if not write_spectrum and not store_audio:
+        raise ValueError("write_spectrum=False requires store_audio=True "
+                         "(the file would contain no conditioning source)")
     song_ids = PIANO_SCORES[data_type] if song_ids is None else song_ids
     styles = STYLES if styles is None else styles
     h5pyname = f"{dataset_outpath}_{data_type}.hdf5"
@@ -204,7 +239,7 @@ def get_data(
                     continue
                 _ingest_style_audio(store, audio, song_id, style,
                                     chunks_by_song[song_id], hp, debug,
-                                    store_audio)
+                                    store_audio, stft_backend, write_spectrum)
 
         if prefetch:
             for song_id, style, audio in _decode_ahead(
@@ -214,27 +249,31 @@ def get_data(
                     continue
                 _ingest_style_audio(store, audio, song_id, style,
                                     chunks_by_song[song_id], hp, debug,
-                                    store_audio)
+                                    store_audio, stft_backend, write_spectrum)
     return h5pyname
 
 
 def _ingest_style_audio(store, audio, song_id, style, song_chunks, hp,
-                        debug, store_audio) -> None:
-    """Chunk one style's decoded audio, device-STFT it, write to the store."""
+                        debug, store_audio, stft_backend="device",
+                        write_spectrum=True) -> None:
+    """Chunk one style's decoded audio, STFT it, write to the store."""
     num_chunks, roll_shape, onoff_shape = song_chunks
     audio_chunks = chunking.chunk_audio(audio, num_chunks, hp)
     if debug:
         for step in range(num_chunks):
             _write_debug_samples(DEBUG_DIR, song_id, step, hp, style=style,
                                  audio_chunk=audio_chunks[step])
-    spec_chunks = spectrograms_from_chunks(audio_chunks, hp)
-    store.write_spectrum(spec_chunks, style)
+    if write_spectrum:
+        spec_chunks = spectrograms_from_chunks(audio_chunks, hp,
+                                               backend=stft_backend)
+        store.write_spectrum(spec_chunks, style)
+        if debug:
+            assert roll_shape[0] == spec_chunks.shape[0]
     if store_audio:
         # raw audio chunks enable device-resident training
         # (spectrograms recomputed on-device; see data/device_store.py)
         store.write_audio(audio_chunks, style)
     if debug:
-        assert roll_shape[0] == spec_chunks.shape[0]
         assert roll_shape == onoff_shape
 
 
@@ -254,6 +293,8 @@ def main(args) -> None:
         max_chunks=args.max_chunks_per_song,
         song_ids=args.song_ids,
         store_audio=args.store_audio,
+        stft_backend=args.stft_backend,
+        write_spectrum=not args.skip_spectrum,
     )
 
 
@@ -273,6 +314,18 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--store-audio", type=str2bool, default=False,
                         help="also store raw audio chunks (audio_{style} keys) for "
                              "device-resident training")
+    parser.add_argument("--stft-backend", choices=("device", "host"),
+                        default="device",
+                        help="where spectrograms are computed: 'device' "
+                             "(batched accelerator STFT, default) or 'host' "
+                             "(NumPy golden; faster end-to-end on slow "
+                             "host<->device links — see PREPROCESS_BENCH.json)")
+    parser.add_argument("--skip-spectrum", type=str2bool, default=False,
+                        help="write NO spec_{style} datasets (requires "
+                             "--store-audio true): device-resident training "
+                             "recomputes spectrograms on-device every step, "
+                             "so skipping the stored ones removes the "
+                             "pipeline's largest compute and bytes")
     return parser
 
 

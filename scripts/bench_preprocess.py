@@ -118,6 +118,22 @@ def main():
                     song_ids=song_ids, styles=args.styles, prefetch=False)
         ours_serial = time.perf_counter() - t0
 
+        # host STFT backend: no accelerator round-trip (the win on slow
+        # host<->device links, where the spec download dominates)
+        t0 = time.perf_counter()
+        pp.get_data(data_dir, os.path.join(work, "ours_host"), "train",
+                    song_ids=song_ids, styles=args.styles,
+                    stft_backend="host")
+        ours_host = time.perf_counter() - t0
+
+        # resident-training build: raw audio only, NO stored spectrograms
+        # (device_store recomputes them on-device every step)
+        t0 = time.perf_counter()
+        pp.get_data(data_dir, os.path.join(work, "ours_skip"), "train",
+                    song_ids=song_ids, styles=args.styles,
+                    store_audio=True, write_spectrum=False)
+        ours_skip = time.perf_counter() - t0
+
         # --- reference-shaped emulation (host NumPy, serial) -------------
         t0 = time.perf_counter()
         ref_out = reference_get_data_emulated(
@@ -142,9 +158,13 @@ def main():
             "ours_cold_s": round(ours_cold, 2),
             "ours_warm_s": round(ours, 2),
             "ours_warm_serial_s": round(ours_serial, 2),
+            "ours_host_backend_s": round(ours_host, 2),
+            "ours_skip_spectrum_s": round(ours_skip, 2),
             "reference_emulated_s": round(ref, 2),
             "speedup_warm": round(ref / ours, 2),
             "speedup_cold": round(ref / ours_cold, 2),
+            "speedup_host_backend": round(ref / ours_host, 2),
+            "speedup_skip_spectrum": round(ref / ours_skip, 2),
             "prefetch_gain": round(ours_serial / ours, 2),
             "spec_max_abs_diff": spec_err,
             "note": ("reference side is the reference's loop shape "

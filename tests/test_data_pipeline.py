@@ -126,6 +126,41 @@ class TestPreprocessE2E:
         mids = [f for f in os.listdir("debugdir") if f.endswith(".mid")]
         assert len(wavs) == 2 and len(mids) == 2
 
+    def test_host_stft_backend_matches_device(self, synth_dir, tmp_path):
+        """--stft-backend host (the end-to-end winner on slow host<->device
+        links, PREPROCESS_BENCH.json) must produce the same file content as
+        the device path within the cross-impl STFT tolerance."""
+        dev = load_dataset(pp.get_data(synth_dir, str(tmp_path / "dv"), "train",
+                                       song_ids=[101], styles=["cuba"],
+                                       max_chunks=3))
+        host = load_dataset(pp.get_data(synth_dir, str(tmp_path / "ho"), "train",
+                                        song_ids=[101], styles=["cuba"],
+                                        max_chunks=3, stft_backend="host"))
+        assert set(dev) == set(host)
+        np.testing.assert_array_equal(dev["pianoroll"], host["pianoroll"])
+        np.testing.assert_allclose(dev["spec_cuba"], host["spec_cuba"],
+                                   atol=5e-4)
+
+    def test_skip_spectrum_resident_build(self, synth_dir, tmp_path):
+        """--skip-spectrum writes rolls + raw audio only (the resident
+        training path recomputes spectrograms on-device); requires
+        --store-audio; the host-streamed loader fails loudly on such a
+        file; the DeviceDataStore accepts it."""
+        with pytest.raises(ValueError, match="store_audio"):
+            pp.get_data(synth_dir, str(tmp_path / "bad"), "train",
+                        song_ids=[101], styles=["cuba"],
+                        write_spectrum=False)
+        out = pp.get_data(synth_dir, str(tmp_path / "sk"), "train",
+                          song_ids=[101], styles=["cuba", "upright"],
+                          max_chunks=3, store_audio=True,
+                          write_spectrum=False)
+        d = load_dataset(out)
+        assert set(d) == {"pianoroll", "onoff", "audio_cuba", "audio_upright"}
+        from ml_music_style_transfer_tpu.data.device_store import DeviceDataStore
+        store = DeviceDataStore(out)
+        assert store.styles == ["cuba", "upright"]
+        assert store.n_data == d["pianoroll"].shape[0]
+
 
 class TestBatchAssembly:
     def test_per_item_style_pairing(self, synth_dir, tmp_path):
