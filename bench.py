@@ -217,6 +217,37 @@ def main():
                 extras["serving_sec_per_30s_clip"] = time.perf_counter() - t0
             finally:
                 shutil.rmtree(sdir, ignore_errors=True)
+
+            # autoencoder family (BASELINE config 3): spectral-loss train
+            # step on mel frames (models/autoencoder.py:
+            # make_autoencoder_train_step) — slope-timed like the headline
+            from ml_music_style_transfer_tpu.models import (
+                AutoencoderConfig, SpectrogramAutoencoder,
+                make_autoencoder_train_step)
+
+            ae_cfg = AutoencoderConfig(n_bins=128, width=256)
+            ae = make_autoencoder_train_step(ae_cfg)
+            B_ae = 32
+            spec_ae = jnp.asarray(
+                (rng.random((B_ae, 860, 1025)) * 3).astype(np.float32))
+            w_ae = jnp.ones(B_ae)
+            p_ae = jax.jit(SpectrogramAutoencoder(ae_cfg).init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 4, ae_cfg.n_bins)))
+            o_ae = ae.tx.init(p_ae)
+            for _ in range(3):  # compile + donation relayouts
+                p_ae, o_ae, ae_loss = ae.step(p_ae, o_ae, spec_ae, w_ae)
+            _ = float(ae_loss)
+
+            def _ae_run(n):
+                nonlocal p_ae, o_ae
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    p_ae, o_ae, l = ae.step(p_ae, o_ae, spec_ae, w_ae)
+                _ = float(l)
+                return time.perf_counter() - t0
+
+            t_sm, t_lg = _ae_run(2), _ae_run(12)
+            extras["autoencoder_spectral_step_ms"] = (t_lg - t_sm) / 10 * 1e3
         except Exception as e:  # pragma: no cover
             log(f"extras failed (continuing with headline metric): {e!r}")
         log(f"extras: {extras}")
