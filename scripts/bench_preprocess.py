@@ -107,15 +107,18 @@ def main():
         # --- ours, cold (includes STFT compile) then warm ----------------
         t0 = time.perf_counter()
         out1 = pp.get_data(data_dir, os.path.join(work, "ours_cold"), "train",
-                           song_ids=song_ids, styles=args.styles)
+                           song_ids=song_ids, styles=args.styles,
+                           stft_backend="device")
         ours_cold = time.perf_counter() - t0
         t0 = time.perf_counter()
         out2 = pp.get_data(data_dir, os.path.join(work, "ours"), "train",
-                           song_ids=song_ids, styles=args.styles)
+                           song_ids=song_ids, styles=args.styles,
+                           stft_backend="device")
         ours = time.perf_counter() - t0
         t0 = time.perf_counter()
         pp.get_data(data_dir, os.path.join(work, "ours_serial"), "train",
-                    song_ids=song_ids, styles=args.styles, prefetch=False)
+                    song_ids=song_ids, styles=args.styles, prefetch=False,
+                    stft_backend="device")
         ours_serial = time.perf_counter() - t0
 
         # host STFT backend: no accelerator round-trip (the win on slow
@@ -125,6 +128,25 @@ def main():
                     song_ids=song_ids, styles=args.styles,
                     stft_backend="host")
         ours_host = time.perf_counter() - t0
+
+        # auto backend (the round-5 default): probe the link once, pick the
+        # measured-faster side; must land within noise of the best manual
+        # choice (the probe itself is inside the timed wall, honestly)
+        pp._AUTO_BACKEND_CACHE.clear()
+        t0 = time.perf_counter()
+        pp.get_data(data_dir, os.path.join(work, "ours_auto"), "train",
+                    song_ids=song_ids, styles=args.styles,
+                    stft_backend="auto")
+        ours_auto = time.perf_counter() - t0
+        import jax as _jax
+        auto_resolved = pp._AUTO_BACKEND_CACHE.get(
+            _jax.devices()[0].platform, "device")
+        best_manual = min(ours, ours_host)
+        assert ours_auto <= 1.25 * best_manual, (
+            f"auto ({ours_auto:.1f}s via {auto_resolved!r}) lost to the best "
+            f"manual backend ({best_manual:.1f}s)")
+        log(f"auto backend resolved to {auto_resolved!r}: {ours_auto:.1f}s "
+            f"(best manual {best_manual:.1f}s)")
 
         # resident-training build: raw audio only, NO stored spectrograms
         # (device_store recomputes them on-device every step)
@@ -159,6 +181,9 @@ def main():
             "ours_warm_s": round(ours, 2),
             "ours_warm_serial_s": round(ours_serial, 2),
             "ours_host_backend_s": round(ours_host, 2),
+            "ours_auto_backend_s": round(ours_auto, 2),
+            "auto_resolved_backend": auto_resolved,
+            "auto_vs_best_manual": round(ours_auto / best_manual, 2),
             "ours_skip_spectrum_s": round(ours_skip, 2),
             "reference_emulated_s": round(ref, 2),
             "speedup_warm": round(ref / ours, 2),
