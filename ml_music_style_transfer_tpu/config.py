@@ -148,6 +148,11 @@ class TrainConfig:
     # train.py:119-123 engel_loss sketch; README.md:22-23). Off by default —
     # default parity is L1 train / MSE eval (train.py:132, :158).
     spectral_loss_weight: float = 0.0
+    # Spectral-loss variant (train/losses.py:multiscale_spectral_loss):
+    # "linlog" (linear + log mel terms, the round-4 sweep), "log" (log-mel
+    # term only — the round-4 autopsy's named ablation) or "direct"
+    # (multi-scale L1 on the log1p outputs themselves, no inversion).
+    spectral_loss_mode: str = "linlog"
     # Adam first-moment dtype: None keeps float32 (exact torch.optim.Adam
     # parity, train.py:188); "bfloat16" halves the m-state's HBM bytes and
     # its read+write traffic in the (HBM-bound) optimizer sweep — measured

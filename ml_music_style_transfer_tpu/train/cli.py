@@ -34,6 +34,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-model", type=int, default=1, help="tensor-parallel axis size")
     p.add_argument("--spectral-loss", type=float, default=0.0,
                    help="weight of the DDSP-style multi-scale spectral loss")
+    p.add_argument("--spectral-loss-mode", choices=("linlog", "log", "direct"),
+                   default="linlog",
+                   help="spectral-loss variant: linear+log mel terms "
+                        "(linlog), log-mel only (log), or multi-scale L1 on "
+                        "the log1p outputs with no inversion (direct)")
     p.add_argument("--compat-mbr-noop", action="store_true",
                    help="reproduce the reference MBRBlock no-op/doubling behavior")
     p.add_argument("--debug-nans", action="store_true",
@@ -109,6 +114,7 @@ def main(argv=None) -> None:
         batch_size=args.batch_size, learning_rate=args.lr,
         n_train_read=args.n_train_read, n_test_read=args.n_test_read,
         spectral_loss_weight=args.spectral_loss,
+        spectral_loss_mode=args.spectral_loss_mode,
         mesh_shape=(args.mesh_data, args.mesh_model),
         adam_mu_dtype=args.adam_mu_dtype,
         adam_nu_dtype=args.adam_nu_dtype,

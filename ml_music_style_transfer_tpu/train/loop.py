@@ -146,7 +146,8 @@ class Trainer:
             loss = losses.l1_loss(pred, batch["target"], batch["weight"])
             if cfg.spectral_loss_weight > 0.0:
                 loss = loss + cfg.spectral_loss_weight * losses.multiscale_spectral_loss(
-                    pred, batch["target"], batch["weight"]
+                    pred, batch["target"], batch["weight"],
+                    mode=getattr(cfg, "spectral_loss_mode", "linlog"),
                 )
             return loss
 

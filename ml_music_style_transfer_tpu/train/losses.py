@@ -43,6 +43,7 @@ def multiscale_spectral_loss(
     mel_scales: tuple = (512, 256, 128, 64),
     log_alpha: float = 1.0,
     clip_max: float = 20.0,
+    mode: str = "linlog",
 ) -> jnp.ndarray:
     """Multi-resolution spectral distance on (B, T, bins) log-power specs.
 
@@ -50,6 +51,18 @@ def multiscale_spectral_loss(
     onto mel banks at several resolutions, and sums L1(linear) +
     log_alpha * L1(log) per scale — the Engel et al. (DDSP,
     arXiv:2001.04643) recipe adapted to spectrogram-output models.
+
+    ``mode`` selects the round-5 ablation variants (round-4 verdict missing
+    #3: the w ∈ {0.01, 0.1} sweep failed with the linear+log sum, and its
+    own autopsy blamed the linear-power mel terms being dominated by the
+    loudest bins — the direct ablation was never run):
+      - "linlog" (default): L1(linear mel power) + log_alpha * L1(log mel),
+        the original sweep's configuration;
+      - "log": the log-mel term ONLY (linear term dropped) — the autopsy's
+        named ablation;
+      - "direct": NO inversion at all — multi-scale L1 between the models'
+        own log1p outputs, mel-banked in the log domain. Cheapest and
+        closest to the training target's own metric.
 
     Numerical-safety contract (both bit the round-4 TPU gate at lr=1e-3,
     weight=0.1):
@@ -63,15 +76,36 @@ def multiscale_spectral_loss(
         produced 0 * inf = NaN in the gradient on the very first step
         while the LOSS VALUE stayed finite.
     """
+    if mode not in ("linlog", "log", "direct"):
+        raise ValueError(f"spectral loss mode must be 'linlog', 'log' or "
+                         f"'direct', got {mode!r}")
+    if mode == "direct":
+        # log-domain throughout: mel-bank the log1p outputs themselves.
+        # The banks are a fixed nonnegative projection, so this is a pure
+        # multi-resolution smoothing of the training target's own domain —
+        # no expm1, no loud-bin domination, no overflow risk.
+        lp = jnp.swapaxes(jnp.clip(pred, 0.0, clip_max), -1, -2)
+        lt = jnp.swapaxes(jnp.clip(target, 0.0, clip_max), -1, -2)
+        total = 0.0
+        for n_mels in mel_scales:
+            mp = jmel.melspectrogram_from_power(lp, sr, n_fft, n_mels)
+            mt = jmel.melspectrogram_from_power(lt, sr, n_fft, n_mels)
+            total = total + _weighted_mean(
+                jnp.mean(jnp.abs(mp - mt), axis=(1, 2)), weight)
+        return total / len(mel_scales)
     pow_p = jnp.swapaxes(jnp.expm1(jnp.clip(pred, 0.0, clip_max)), -1, -2)
     pow_t = jnp.swapaxes(jnp.expm1(jnp.clip(target, 0.0, clip_max)), -1, -2)
     total = 0.0
     for n_mels in mel_scales:
         mp = jmel.melspectrogram_from_power(pow_p, sr, n_fft, n_mels)
         mt = jmel.melspectrogram_from_power(pow_t, sr, n_fft, n_mels)
-        lin = jnp.mean(jnp.abs(mp - mt), axis=(1, 2))
         log = jnp.mean(jnp.abs(jnp.log1p(mp) - jnp.log1p(mt)), axis=(1, 2))
-        total = total + _weighted_mean(lin + log_alpha * log, weight)
+        if mode == "log":
+            per_scale = log_alpha * log
+        else:
+            lin = jnp.mean(jnp.abs(mp - mt), axis=(1, 2))
+            per_scale = lin + log_alpha * log
+        total = total + _weighted_mean(per_scale, weight)
     return total / len(mel_scales)
 
 
