@@ -66,6 +66,23 @@ def main():
                          "sweep is comparable against the canonical L1-only "
                          "gate (VERDICT r3 #3: quality evidence for the "
                          "flag, positive or negative)")
+    ap.add_argument("--spectral-loss-mode", choices=("linlog", "log", "direct"),
+                    default="linlog",
+                    help="spectral-loss variant (train/losses.py): the "
+                         "round-4 sweep ran 'linlog' (linear+log mel sum) "
+                         "and FAILED, blaming the linear-power terms; 'log' "
+                         "is that autopsy's direct ablation (linear term "
+                         "dropped), 'direct' skips inversion entirely "
+                         "(multi-scale L1 on the log1p outputs). Non-default "
+                         "modes suffix the artifact name")
+    ap.add_argument("--wholeclip-divergence", action="store_true",
+                    help="after training, measure the output divergence "
+                         "between the tiled+crossfade serving default "
+                         "(per-tile InstanceNorm statistics) and the "
+                         "whole-clip one-pass path (the reference's literal "
+                         "inference semantics, model/inference.py:82-84) on "
+                         "the 15 s proof clip, TRAINED weights — recorded "
+                         "in the artifact (round-4 verdict missing #1)")
     ap.add_argument("--alpha", type=float, default=None,
                     help="fixture-invariant discrimination criterion "
                          "(testing/quality.py): for every conditioning style "
@@ -78,12 +95,18 @@ def main():
                          "fixture proximity. Default "
                          f"{quality.DEFAULT_ALPHA} (calibration in the "
                          "module docstring)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke-testing the script "
+                         "logic at tiny width; gate results count on TPU)")
     args = ap.parse_args()
     if args.alpha is None:
         args.alpha = quality.DEFAULT_ALPHA
 
     import jax
     import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/mmst_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -130,7 +153,8 @@ def main():
     model_cfg = ModelConfig(width_mult=args.width_mult)
     tr = Trainer(model_cfg, TrainConfig(
         batch_size=B, learning_rate=args.lr, seed=args.seed,
-        spectral_loss_weight=args.spectral_loss_weight))
+        spectral_loss_weight=args.spectral_loss_weight,
+        spectral_loss_mode=args.spectral_loss_mode))
     params, opt_state = tr.init_state(args.seed)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"params: {n_params/1e6:.1f}M (width_mult={args.width_mult})")
@@ -257,6 +281,48 @@ def main():
     log(f"cond proof: aligned L1={l_aligned:.4f} center L1={l_center:.4f}")
     aligned_beats_center = l_aligned < l_center
 
+    # ---- tiled vs whole-clip output divergence (TRAINED weights) ----------
+    # The serving default tiles the clip into 860-frame windows with 50%
+    # overlap + triangular crossfade (per-tile InstanceNorm statistics); the
+    # reference's literal semantics is ONE forward over the whole clip with
+    # IN statistics spanning it (model/inference.py:82-84). This measures
+    # what the fast default trades, on the trained model (round-4 verdict
+    # missing #1 — bench_inference measures the same on random init).
+    wholeclip = None
+    if args.wholeclip_divergence:
+        spec_tiled_dev, t_tot = synth._predict_device(midi_path, wav_path)
+        spec_tiled = np.asarray(spec_tiled_dev, np.float32)[:t_tot]
+        roll_w, onoff_w, cond_w, t_total_w = synth.process_whole_clip(
+            midi_path, wav_path)
+        spec_whole = np.asarray(synth.predict_spectrogram_whole_clip(
+            roll_w, onoff_w, cond_w, t_total_w), np.float32)
+        t_cmp = min(spec_tiled.shape[0], spec_whole.shape[0])
+        a, b = spec_tiled[:t_cmp], spec_whole[:t_cmp]
+        ref_norm = max(float(np.linalg.norm(b)), 1e-9)
+        # interior excludes one window at each end (edge padding differs
+        # structurally between the paths; the IN-statistics question lives
+        # in the interior)
+        w1 = (hp.windows_per_chunk if t_cmp > 3 * hp.windows_per_chunk
+              else t_cmp // 4)  # interior must be non-empty on short clips
+        ai, bi = a[w1:t_cmp - w1], b[w1:t_cmp - w1]
+        wholeclip = {
+            "t_frames_compared": int(t_cmp),
+            "interior_margin_frames": int(w1),
+            "rel_l2": round(float(np.linalg.norm(a - b)) / ref_norm, 4),
+            "interior_rel_l2": round(
+                float(np.linalg.norm(ai - bi))
+                / max(float(np.linalg.norm(bi)), 1e-9), 4),
+            "mean_abs": round(float(np.mean(np.abs(a - b))), 4),
+            "mean_abs_vs_own_pred_err": round(
+                float(np.mean(np.abs(a - b))) / max(m[0, 0], 1e-9), 3),
+        }
+        log(f"tiled-vs-whole-clip divergence (trained): "
+            f"rel_l2={wholeclip['rel_l2']} "
+            f"interior={wholeclip['interior_rel_l2']} "
+            f"mean_abs={wholeclip['mean_abs']} "
+            f"(= {wholeclip['mean_abs_vs_own_pred_err']}x the model's own "
+            f"held-out L1)")
+
     # ---- Griffin-Lim floor on the predicted spectrogram -------------------
     pred = np.asarray(pred_b, np.float32)  # (860, 1025)
     wav = jgl.griffinlim_from_log_power(jnp.asarray(pred.T),
@@ -294,6 +360,8 @@ def main():
         "min_normalized_margin": report["min_normalized_margin"],
         "seed": args.seed,
         "spectral_loss_weight": args.spectral_loss_weight,
+        "spectral_loss_mode": args.spectral_loss_mode,
+        "wholeclip_divergence": wholeclip,
         "styles_normalized": "rms",
         "cond_aligned_l1": round(l_aligned, 4),
         "cond_center_l1": round(l_center, 4),
@@ -304,11 +372,19 @@ def main():
     }
     name = ("QUALITY_GATE_TPU.json" if args.styles == 2
             else "QUALITY_GATE_TPU_5STYLE.json")
+    if args.width_mult != 1.0:
+        # width/quality frontier runs (round-4 verdict weak #4) get their
+        # own artifacts; the canonical full-width gates stay untouched
+        w = f"{args.width_mult:g}".replace(".", "p")
+        name = name.replace(".json", f"_W{w}.json")
     if args.seed != 0:
         name = name.replace(".json", f"_SEED{args.seed}.json")
     if args.spectral_loss_weight > 0:
         w = f"{args.spectral_loss_weight:g}".replace(".", "p")
-        name = name.replace(".json", f"_SPECLOSS{w}.json")
+        suffix = f"_SPECLOSS{w}"
+        if args.spectral_loss_mode != "linlog":
+            suffix += f"_{args.spectral_loss_mode.upper()}"
+        name = name.replace(".json", f"{suffix}.json")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        name)
     with open(out, "w") as f:
