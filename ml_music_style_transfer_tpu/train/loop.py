@@ -19,6 +19,7 @@ Rebuild of reference model/train.py:125-208, TPU-native:
 from __future__ import annotations
 
 import collections
+import dataclasses
 import functools
 import os
 import time
@@ -431,6 +432,23 @@ class Trainer:
             train_ds, test_ds = process_data(
                 data_dir, self.cfg.n_train_read, self.cfg.n_test_read, self.cfg.seed
             )
+        # The reference's DataLoader (train.py:114, drop_last=False) still
+        # trains when the dataset holds less than one batch; our static-shape
+        # batching drops partial TRAIN batches, which would silently run zero
+        # steps per epoch here. Clamp the effective batch to the dataset,
+        # rounded down to the data-parallel extent so sharded batches divide.
+        n_train = store.n_data if store is not None else train_ds.n_data
+        if n_train < self.cfg.batch_size:
+            dp = self.mesh.shape.get("data", 1) * self.mesh.shape.get("dcn", 1)
+            eff = (n_train // dp) * dp
+            if eff == 0:
+                raise ValueError(
+                    f"{n_train} training chunks cannot fill one per-device row "
+                    f"on the {dp}-way data-parallel mesh")
+            print(f"batch_size {self.cfg.batch_size} exceeds the {n_train}-chunk "
+                  f"training set; clamping to {eff} (reference drop_last=False "
+                  "semantics would otherwise train zero steps per epoch)")
+            self.cfg = dataclasses.replace(self.cfg, batch_size=eff)
         params, opt_state = self.init_state(self.cfg.seed)
         exp = ckpt.ExperimentState(self.cfg.epochs, self.cfg.test_freq, self.cfg.exp_name)
         start_epoch = 0

@@ -211,9 +211,13 @@ def main():
                 "cap_s": args.probe_cap_seconds,
             }
 
+        # non-flagship widths get their own artifact so a frontier run
+        # can't clobber the canonical full-width numbers
+        suffix = ("" if args.width_mult == 1.0
+                  else "_W" + f"{args.width_mult:g}".replace(".", "p"))
         out_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "SERVING_WHOLECLIP.json")
+            f"SERVING_WHOLECLIP{suffix}.json")
         with open(out_path, "w") as f:
             js.dump(wc, f, indent=1)
         print("[whole-clip] " + js.dumps(wc), flush=True)
