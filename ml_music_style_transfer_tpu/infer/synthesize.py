@@ -321,22 +321,46 @@ class AudioSynthesizer:
         self._chunk_starts = starts
         return roll_chunks, onoff_chunks, starts, t_total
 
-    def _cond_spec_device(self, audio_path: str) -> jnp.ndarray:
-        """Timbre audio -> on-device log-power spec (n_frames, bins).
+    def _cond_spec_device(self, audio_path: str) -> tuple[jnp.ndarray, int]:
+        """Timbre audio -> (device log-power spec (bucketed frames, bins),
+        TRUE frame count).
 
         The ONLY upload is the raw waveform; the spectrogram never visits
         the host (the round-2 path downloaded it at ~4 B/bin/frame and
         re-uploaded tiles — round-2 verdict #1).
+
+        The waveform is reflect-padded on the HOST (the STFT's center
+        semantics) and then zero-padded/trimmed to a half-chunk frame
+        bucket's exact sample count, so every audio length inside a ~2.5 s
+        bucket shares ONE compiled STFT program. This was the daemon's last
+        exact-length compile key: before bucketing, every novel timbre-clip
+        length paid a fresh remote compile mid-request (round-5 soak p99
+        ~23 s). Frames [0, true count) are BIT-identical to the unbucketed
+        centered STFT — tail zeros are only read by frames past the true
+        count, trimmed samples by no frame at all — and callers gather
+        conditioning tiles modulo the true count, so padded frames are
+        never consumed.
         """
-        audio, _ = audio_io.read_wav(audio_path, sr=self.hp.sr)
-        if len(audio) < self.hp.n_fft:
+        hp = self.hp
+        audio, _ = audio_io.read_wav(audio_path, sr=hp.sr)
+        if len(audio) < hp.n_fft:
             raise ValueError(
                 f"{audio_path} is shorter than one FFT window "
-                f"({len(audio)} < {self.hp.n_fft} samples at {self.hp.sr} Hz) "
+                f"({len(audio)} < {hp.n_fft} samples at {hp.sr} Hz) "
                 "— too short to extract timbre from")
-        spec = jstft.log_power_stft(
-            _stage(audio.astype(np.float32)), self.hp.n_fft, self.hp.ws)
-        return jnp.swapaxes(spec, -1, -2)  # (T, 1025), device-resident
+        half = hp.n_fft // 2
+        a = np.pad(audio.astype(np.float32), (half, half), mode="reflect")
+        n_valid = 1 + len(audio) // hp.ws  # centered-STFT frame contract
+        bucket = hp.windows_per_chunk // 2
+        n_bucketed = -(-n_valid // bucket) * bucket
+        target = (n_bucketed - 1) * hp.ws + hp.n_fft
+        if len(a) < target:
+            a = np.pad(a, (0, target - len(a)))
+        else:
+            a = a[:target]
+        spec = jstft.log_power_stft(_stage(a), hp.n_fft, hp.ws, center=False)
+        # (n_bucketed, 1025), device-resident; frames >= n_valid are padding
+        return jnp.swapaxes(spec, -1, -2), n_valid
 
     def _cond_starts(self, starts, n_valid: int, cond_mode: str, win: int):
         """Host-side cond tile offsets; the device gather wraps them mod
@@ -380,8 +404,7 @@ class AudioSynthesizer:
             raise ValueError(f"cond_mode must be 'aligned' or 'center', got {cond_mode!r}")
         roll_chunks, onoff_chunks, starts, t_total = self._chunk_midi(midi_path, overlap)
         win = self.hp.windows_per_chunk
-        spec_dev = self._cond_spec_device(audio_path)
-        n_valid = int(spec_dev.shape[0])
+        spec_dev, n_valid = self._cond_spec_device(audio_path)
         if cond_mode == "center":
             cstart = self._cond_starts(starts, n_valid, "center", win)[0]
             cond = _fetch(_cond_tiles(spec_dev, jnp.asarray([cstart]), n_valid,
@@ -408,8 +431,7 @@ class AudioSynthesizer:
         hp = self.hp
         win = hp.windows_per_chunk
         roll_chunks, onoff_chunks, starts, t_total = self._chunk_midi(midi_path, overlap)
-        spec_dev = self._cond_spec_device(audio_path)
-        n_valid = int(spec_dev.shape[0])
+        spec_dev, n_valid = self._cond_spec_device(audio_path)
         cond_starts = self._cond_starts(starts, n_valid, cond_mode, win)
 
         n = roll_chunks.shape[0]
@@ -582,8 +604,7 @@ class AudioSynthesizer:
                              "nothing to synthesize")
         roll, onoff = pr.vectorize_notes(mf.notes, hp.wps)
         t_total = roll.shape[0]
-        spec_dev = self._cond_spec_device(self.audio_source)
-        n_valid = int(spec_dev.shape[0])
+        spec_dev, n_valid = self._cond_spec_device(self.audio_source)
         # cyclic extension to the MIDI's frame count, on device
         cond_dev = spec_dev[jnp.mod(jnp.arange(t_total), n_valid)]
 

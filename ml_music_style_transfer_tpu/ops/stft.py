@@ -196,10 +196,11 @@ def inverse_log_power(spec: jnp.ndarray, clip_max: float = 20.0) -> jnp.ndarray:
     return jnp.sqrt(jnp.expm1(jnp.clip(spec, 0.0, clip_max)))
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "transform"))
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "transform", "center"))
 def log_power_stft(
     y: jnp.ndarray, n_fft: int = 2048, hop_length: int = 256,
-    transform: str | None = None,
+    transform: str | None = None, center: bool = True,
 ) -> jnp.ndarray:
     """Fused batched chunk->log-power-spectrogram op (the preprocessing hot path).
 
@@ -215,17 +216,25 @@ def log_power_stft(
     (1.05e-4) and 5x inside the 1e-3 librosa-parity contract. Single-pass
     bf16 (precision=DEFAULT) would be 1.5x faster still but breaks that
     contract (max err 0.032), so HIGH it is.
+
+    ``center=False`` skips the reflect padding: the caller has already
+    applied it on the host (the serving path does, so it can zero-pad the
+    already-reflected signal to a sample-count bucket and share ONE compiled
+    program across clip lengths — frames over the true signal stay
+    bit-identical because tail padding is only read by later frames).
     """
     if transform is None:
         from . import pallas as _pk
 
         transform = "dft" if _pk.on_tpu() else "fft"
     if transform != "dft":
-        return log_power(stft(y, n_fft=n_fft, hop_length=hop_length))
+        return log_power(stft(y, n_fft=n_fft, hop_length=hop_length,
+                              center=center))
     bins = n_fft // 2 + 1
     window = jnp.asarray(_window_const(n_fft, n_fft))
-    pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
-    y = jnp.pad(y, pad, mode="reflect")
+    if center:
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        y = jnp.pad(y, pad, mode="reflect")
     n_frames = 1 + (y.shape[-1] - n_fft) // hop_length
     if n_fft % hop_length == 0:
         frames = _frame_dense(y, n_fft, hop_length, n_frames)

@@ -55,6 +55,50 @@ def _write_wav_out(wav, out_path, sr) -> None:
     audio_io.write_wav(out_path, wav, sr)
 
 
+def warmup(make_synth, durations, n_iter: int = 300, batch: bool = True,
+           whole_clip: bool = False, mesh=None) -> None:
+    """Pre-compile the serving programs before the first real request.
+
+    For each duration (seconds) a synthetic MIDI+WAV pair is generated and
+    run through the SAME paths requests take — the tiled single-clip
+    synthesis (optionally the dynamic-batch and whole-clip paths too) — so
+    the first-touch compiles land at daemon startup instead of inside a
+    user's request (the round-5 soak measured ~23 s p99 tails from exactly
+    those mid-stream compiles). Because every serving program is keyed on
+    BUCKETED shapes (tile count to 4, output frames to 430, and the
+    conditioning STFT to a ~2.5 s sample bucket), warming one duration covers
+    every clip whose MIDI and audio lengths fall in the same buckets.
+    """
+    import tempfile
+
+    import numpy as np
+
+    from ml_music_style_transfer_tpu.data.audio_io import write_wav
+    from ml_music_style_transfer_tpu.infer import bulk
+    from ml_music_style_transfer_tpu.midi import writer as midi_writer
+    from ml_music_style_transfer_tpu.testing import synthetic
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory(prefix="mmst_warmup_") as tmp:
+        for k, dur in enumerate(durations):
+            t0 = time.perf_counter()
+            notes = synthetic.random_song(rng, duration=float(dur))
+            mp = os.path.join(tmp, f"warm{k}.mid")
+            wp = os.path.join(tmp, f"warm{k}.wav")
+            midi_writer.save(mp, notes)
+            write_wav(wp, rng.standard_normal(
+                int(float(dur) * 44100)).astype(np.float32) * 0.1, 44100)
+            synth = make_synth(mp, wp)
+            synth.synthesize_waveform(n_iter=n_iter)
+            if batch:  # grouped one-dispatch Griffin-Lim program
+                bulk.batch_synthesize_waveforms(
+                    [synth, make_synth(mp, wp)], n_iter=n_iter, mesh=mesh)
+            if whole_clip:
+                synth.synthesize_whole_clip(n_iter=n_iter)
+            print(f"warmup {dur}s: {time.perf_counter() - t0:.1f}s "
+                  f"(batch={batch} whole_clip={whole_clip})", file=sys.stderr)
+
+
 def _serve_batch(make_synth, req, mesh) -> dict:
     """One dynamic batch: device-resident forwards, grouped one-dispatch GL
     (per-item error isolation inside bulk.batch_synthesize_waveforms)."""
@@ -228,6 +272,14 @@ def main(argv=None) -> None:
                     help="max in-flight dispatched requests: host prep of "
                          "request N+1 overlaps device work of request N "
                          "(0 = serial)")
+    ap.add_argument("--warmup", default="",
+                    help="comma-separated clip durations (seconds) to "
+                         "pre-compile at startup, e.g. '10,30,60' — shape "
+                         "buckets mean one duration covers its whole ~2.5 s "
+                         "neighborhood; '' disables")
+    ap.add_argument("--warmup-whole-clip", action="store_true",
+                    help="also pre-compile the whole-clip one-pass program "
+                         "per --warmup duration (length-exact, not bucketed)")
     args = ap.parse_args(argv)
 
     from ml_music_style_transfer_tpu.config import ModelConfig
@@ -251,6 +303,10 @@ def main(argv=None) -> None:
                                 checkpoint_path=args.checkpoint,
                                 use_ema=args.use_ema)
 
+    if args.warmup:
+        warmup(make_synth,
+               [float(d) for d in args.warmup.split(",") if d.strip()],
+               whole_clip=args.warmup_whole_clip, mesh=mesh)
     print(f"serving {exp_dir} (width_mult={args.width_mult}); "
           "one JSON request per line, 'quit' or EOF to stop", file=sys.stderr)
     n = serve_loop(make_synth, sys.stdin, sys.stdout, mesh=mesh,

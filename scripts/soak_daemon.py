@@ -78,14 +78,27 @@ def main():
     # fixture clips: 3 length buckets (cache-friendly; lengths in one tile
     # bucket reuse one compiled program) + a short one for whole-clip
     fixtures = {}
-    for name, dur, style in (("a10", 10.0, "cuba"), ("b20", 20.0, "upright"),
-                             ("c30", 30.0, "harpsichord"),
-                             ("w10", 10.0, "gentleman")):
+    # "novel" (MIDI 9.3 s, audio 10.8 s) is the NOVEL-length probe: it
+    # shares every shape bucket with a10 (tile count 4, l_out 1720,
+    # cond-STFT frame bucket 2150) but its exact MIDI/audio lengths never
+    # appear in the warm pass — before round 5's cond-STFT sample
+    # bucketing, its first request paid a fresh remote STFT compile
+    # (~20 s p99 in DAEMON_SOAK.json); with bucketing it must run at warm
+    # speed.
+    for name, dur, adur, style in (
+            ("a10", 10.0, 10.0, "cuba"), ("b20", 20.0, 20.0, "upright"),
+            ("c30", 30.0, 30.0, "harpsichord"),
+            ("w10", 10.0, 10.0, "gentleman"),
+            ("novel", 9.3, 10.8, "aliciakeys")):
         notes = synthetic.random_song(rng, duration=dur)
         mp, wp = os.path.join(root, f"{name}.mid"), os.path.join(root, f"{name}.wav")
         midi_writer.save(mp, notes)
-        write_wav(wp, synthetic.render_notes(notes, style, duration=dur), 44100)
+        write_wav(wp, synthetic.render_notes(notes, style, duration=adur), 44100)
         fixtures[name] = (mp, wp, dur)
+    # fail fast if the novel probe's audio drifted out of a10's STFT bucket
+    for a_dur, n_dur in ((10.0, 10.8),):
+        b = lambda s: -(-(1 + int(s * 44100) // 256) // 430)  # noqa: E731
+        assert b(a_dur) == b(n_dur), (b(a_dur), b(n_dur))
 
     # malformed fixtures
     bad_wav = os.path.join(root, "bad.wav")
@@ -144,6 +157,10 @@ def main():
             add({"midi": fixtures["w10"][0], "audio": fixtures["w10"][1],
                  "out": out, "n_iter": args.n_iter, "whole_clip": True},
                 "whole")
+        elif cyc in (7, 21):  # novel length, same buckets as a10 — must
+            # NOT compile (cond-STFT sample bucketing, round 5)
+            add({"midi": fixtures["novel"][0], "audio": fixtures["novel"][1],
+                 "out": out, "n_iter": args.n_iter}, "novel")
         else:
             name = singles[n_built % len(singles)]
             add({"midi": fixtures[name][0], "audio": fixtures[name][1],
@@ -167,13 +184,23 @@ def main():
                             "audio": fixtures["w10"][1],
                             "out": os.path.join(root, "out", "warm_w.wav"),
                             "n_iter": args.n_iter, "whole_clip": True}))
+    # warm the dynamic-batch path too: its grouped-GL program compiling
+    # mid-stream was the round-5 soak's batch p99 (27 s) AND, via FIFO
+    # head-of-line blocking, the single_b/c/bad p99 tails behind it
+    warm.append(json.dumps({"batch": [
+        {"midi": fixtures["a10"][0], "audio": fixtures["a10"][1],
+         "out": os.path.join(root, "out", "warm_bat.wav")},
+        {"midi": fixtures["a10"][0], "audio": fixtures["w10"][1],
+         "out": os.path.join(root, "out", "warm_batb.wav")}],
+        "n_iter": args.n_iter}))
+    expected_warm_ok = len(warm) + 1  # the batch request carries 2 clips
     t0 = time.perf_counter()
     served = serve.serve_loop(make_synth, io.StringIO("\n".join(warm) + "\n"),
                               io.StringIO(),
                               pipeline_depth=args.pipeline_depth)
-    log(f"warm pass: {served}/{len(warm)} ok in "
+    log(f"warm pass: {served}/{expected_warm_ok} ok in "
         f"{time.perf_counter()-t0:.1f}s (incl. compiles)")
-    assert served == len(warm)
+    assert served == expected_warm_ok
 
     # ---- the soak -----------------------------------------------------------
     out_s = io.StringIO()
